@@ -1,0 +1,23 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# XLA:CPU (LLVM) compiles are slow in this image — cache them across test runs.
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,113 @@
+"""Diffusion process + sampler tests (tiny nets, jitted, CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucdir_tpu.models.dy3h import DY3h
+from ucdir_tpu.diffusion import (ResiGaussianGuideDY, GaussianDiffusion,
+                                 ResiGaussianGuideDY_initxloss,
+                                 p_sample_loop, ddim_sample, super_resolution,
+                                 sample_continuous_gamma)
+from ucdir_tpu.schedule import make_schedule
+
+KEY = jax.random.PRNGKey(0)
+VAL_SCHED = dict(schedule='linear', n_timestep=10, linear_start=1e-6, linear_end=0.4)
+
+
+def tiny_module(cls=ResiGaussianGuideDY):
+    unet = DY3h(in_channel=6, out_channel=3, inner_channel=8,
+                channel_mults=(1, 2), attn_res=(16,), res_blocks=1,
+                dropout=0.0, norm_groups=1, image_size=32)
+    return cls(denoise_fn=unet, image_size=32, channels=3, loss_type='l1')
+
+
+def init_vars(module, b=2, s=32):
+    x_in = {'HR': jnp.zeros((b, s, s, 3)), 'SR': jnp.zeros((b, s, s, 3))}
+    gammas = jnp.ones((b, 1)) * 0.5
+    noise = jnp.zeros((b, s, s, 3))
+    return jax.jit(module.init)({'params': KEY, 'dropout': KEY},
+                                x_in, gammas, noise), x_in
+
+
+def test_gamma_sampling_in_segment():
+    sched = make_schedule(dict(schedule='linear', n_timestep=2000,
+                               linear_start=1e-6, linear_end=1e-2))
+    g = jax.jit(lambda k: sample_continuous_gamma(k, sched, 64))(KEY)
+    assert g.shape == (64, 1)
+    arr = np.asarray(g)
+    assert (arr > 0).all() and (arr <= 1).all()
+    # all gammas in a batch share one t-segment -> tight spread
+    t_edges = np.asarray(sched.sqrt_alphas_cumprod_prev)
+    seg = np.max(np.abs(np.diff(np.sort(t_edges))))
+    assert arr.max() - arr.min() <= seg + 1e-6
+
+
+def test_p_losses_finite_and_positive():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(VAL_SCHED)
+    g = sample_continuous_gamma(KEY, sched, 2)
+    noise = jax.random.normal(KEY, (2, 32, 32, 3))
+    loss = jax.jit(lambda v: module.apply(v, x_in, g, noise,
+                                          deterministic=True))(variables)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_initxloss_variant_larger_loss():
+    m1 = tiny_module(ResiGaussianGuideDY)
+    m2 = tiny_module(ResiGaussianGuideDY_initxloss)
+    v, x_in = init_vars(m1)
+    x_in = {'HR': jnp.ones((2, 32, 32, 3)) * 0.5, 'SR': jnp.zeros((2, 32, 32, 3))}
+    sched = make_schedule(VAL_SCHED)
+    g = sample_continuous_gamma(KEY, sched, 2)
+    noise = jax.random.normal(KEY, (2, 32, 32, 3))
+    l1 = float(jax.jit(lambda v: m1.apply(v, x_in, g, noise, deterministic=True))(v))
+    l2 = float(jax.jit(lambda v: m2.apply(v, x_in, g, noise, deterministic=True))(v))
+    assert l2 > l1  # extra 0.5*|initx - HR| term
+
+
+def test_super_resolution_end_to_end():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(VAL_SCHED)
+    f = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k))
+    sr, initx = f(variables, x_in['SR'], KEY)
+    assert sr.shape == (2, 32, 32, 3)
+    assert initx.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_super_resolution_continuous_snapshots():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(VAL_SCHED)
+    f = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k,
+                                                 continous=True))
+    sr, initx, snaps = f(variables, x_in['SR'], KEY)
+    assert snaps.shape == (10, 2, 32, 32, 3)
+    # last snapshot equals the final (both already include +initx)
+    np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(sr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_sampler_runs():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(dict(schedule='linear', n_timestep=50,
+                               linear_start=1e-6, linear_end=0.4))
+    f = jax.jit(lambda v, x, k: super_resolution(
+        module, v, sched, x, k, sampler='ddim', sampling_timesteps=5, eta=1.0))
+    sr, initx = f(variables, x_in['SR'], KEY)
+    assert sr.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_sampling_deterministic_given_key():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(VAL_SCHED)
+    f = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k)[0])
+    a = f(variables, x_in['SR'], KEY)
+    b = f(variables, x_in['SR'], KEY)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

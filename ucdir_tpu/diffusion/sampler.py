@@ -1,0 +1,170 @@
+"""Sampling loops as `lax.scan` — compiled end-to-end on device.
+
+The reference runs a host Python loop with a fresh host->device noise-level
+tensor every step (/root/reference/model/diffusion.py:160-211). Here the whole
+reverse process (coefficient gathers, UNet call, ancestral update) is one scan
+inside one jit: zero host round-trips, and XLA overlaps the elementwise update
+with the next step's convolutions.
+
+Functions:
+  * `p_sample_loop`  — ancestral DDPM reverse loop (diffusion.py:185-211).
+  * `ddim_sample`    — DDIM/eta path (diffusion.py:213-294; the reference
+                       hardcodes 5 steps / eta=1 / pred_noise — parameterized).
+  * `super_resolution` — restoration entry: predictor -> guided reverse loop ->
+                       + initx (diffusion.py:473-478), with the 64-px reflect
+                       padding applied by the trainer (model/model.py:127-137).
+  * `sample_continuous_gamma` — training-time (t, gamma) sampling
+                       (diffusion.py:315-331): one t per batch, per-sample
+                       gamma ~ U[sqrt_acp[t-1], sqrt_acp[t]].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucdir_tpu.schedule import NoiseSchedule
+
+
+def sample_continuous_gamma(key: jax.Array, sched: NoiseSchedule, batch: int):
+    """Returns gammas of shape (batch, 1)."""
+    k_t, k_g = jax.random.split(key)
+    t = jax.random.randint(k_t, (), 1, sched.num_timesteps + 1)
+    lo = sched.sqrt_alphas_cumprod_prev[t - 1]
+    hi = sched.sqrt_alphas_cumprod_prev[t]
+    u = jax.random.uniform(k_g, (batch, 1), dtype=sched.betas.dtype)
+    return lo + u * (hi - lo)
+
+
+def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
+                  key: jax.Array, clip_denoised: bool = True,
+                  continous: bool = False):
+    """Ancestral reverse loop.
+
+    denoise: fn(img_or_cat, noise_level (b,1)) -> eps. For conditional models
+      the caller closes over the condition and passes fn(x) that concatenates.
+    x_cond: the conditioning image (defines shape); for unconditional use, pass
+      an array of the target shape (its values are unused when denoise ignores
+      the condition).
+    Returns final img, or (final, per-step imgs stacked on axis 0) if continous.
+    """
+    shape = x_cond.shape
+    T = sched.num_timesteps
+    key, k0 = jax.random.split(key)
+    img0 = jax.random.normal(k0, shape, dtype=x_cond.dtype)
+
+    def step(carry, t):
+        img, key = carry
+        key, k = jax.random.split(key)
+        noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
+            sched.sqrt_alphas_cumprod_prev[t + 1]
+        eps = denoise(img, noise_level)
+        x0 = (sched.sqrt_recip_alphas_cumprod[t] * img
+              - sched.sqrt_recipm1_alphas_cumprod[t] * eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1., 1.)
+        mean = (sched.posterior_mean_coef1[t] * x0
+                + sched.posterior_mean_coef2[t] * img)
+        logvar = sched.posterior_log_variance_clipped[t]
+        noise = jax.random.normal(k, shape, dtype=img.dtype)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        img = mean + noise * jnp.exp(0.5 * logvar)
+        return (img, key), (img if continous else None)
+
+    ts = jnp.arange(T - 1, -1, -1)
+    (img, _), ys = jax.lax.scan(step, (img0, key), ts)
+    if continous:
+        return img, ys
+    return img
+
+
+def ddim_sample(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
+                key: jax.Array, sampling_timesteps: int = 5, eta: float = 1.0,
+                clip_x_start: bool = True, continous: bool = False):
+    """DDIM(eta) reverse loop (diffusion.py:247-294)."""
+    shape = x_cond.shape
+    T = sched.num_timesteps
+    # [-1, ..., T-1] then reversed pairs — identical to the reference's
+    # torch.linspace(...).int() rounding.
+    times = np.linspace(-1, T - 1, sampling_timesteps + 1).astype(np.int64)
+    times = list(reversed(times.tolist()))
+    pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+    key, k0 = jax.random.split(key)
+    img0 = jax.random.normal(k0, shape, dtype=x_cond.dtype)
+
+    def step(carry, pair):
+        img, key = carry
+        key, k = jax.random.split(key)
+        t, t_next = pair[0], pair[1]
+        noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
+            sched.sqrt_alphas_cumprod_prev[t + 1]
+        eps = denoise(img, noise_level)
+        x0 = (sched.sqrt_recip_alphas_cumprod[t] * img
+              - sched.sqrt_recipm1_alphas_cumprod[t] * eps)
+        if clip_x_start:
+            x0 = jnp.clip(x0, -1., 1.)
+
+        alpha = sched.alphas_cumprod[t]
+        alpha_next = jnp.where(t_next >= 0, sched.alphas_cumprod[t_next], 1.0)
+        sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next)
+                               / (1 - alpha))
+        c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma ** 2, 0., None))
+        noise = jax.random.normal(k, shape, dtype=img.dtype)
+        stepped = x0 * jnp.sqrt(alpha_next) + c * eps + sigma * noise
+        img = jnp.where(t_next < 0, x0, stepped)
+        return (img, key), (img if continous else None)
+
+    (img, _), ys = jax.lax.scan(step, (img0, key), jnp.asarray(pairs))
+    if continous:
+        return img, ys
+    return img
+
+
+def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
+                     key: jax.Array, continous: bool = False,
+                     sampler: str = 'ddpm', sampling_timesteps: int = 5,
+                     eta: float = 1.0):
+    """Full restoration pass for the Resi* variants.
+
+    Mirrors ResiGaussianGuideDY.super_resolution (diffusion.py:473-478):
+    initx = predictor(x_in); reverse loop conditioned on x_in with AKGM guide;
+    result(+snapshots) + initx. Returns (sr, initx) or (sr, initx, snapshots).
+    Jit this via functools.partial / closure; everything is traceable.
+    """
+    has_pred = getattr(module, 'has_predictor', False)
+    initx = module.apply(variables, x_in, method='predict_init') if has_pred \
+        else None
+
+    guide_mode = getattr(module, 'guide_in_sample', None)
+    guide = {'initx': initx, 'degraded': x_in, None: None}[guide_mode]
+
+    def denoise(img, noise_level):
+        net_in = jnp.concatenate([x_in, img], axis=-1)
+        return module.apply(variables, net_in, noise_level, guide,
+                            method='denoise')
+
+    if sampler == 'ddpm':
+        out = p_sample_loop(denoise, x_in, sched, key, continous=continous)
+    elif sampler == 'ddim':
+        out = ddim_sample(denoise, x_in, sched, key,
+                          sampling_timesteps=sampling_timesteps, eta=eta,
+                          continous=continous)
+    else:
+        raise NotImplementedError(sampler)
+
+    if continous:
+        img, snaps = out
+    else:
+        img, snaps = out, None
+
+    if initx is not None:
+        img = img + initx
+        if snaps is not None:
+            snaps = snaps + initx[None]
+    if continous:
+        return img, initx, snaps
+    return img, initx

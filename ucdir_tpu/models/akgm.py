@@ -1,0 +1,76 @@
+"""Adaptive Kernel Guidance Module (AKGM) — `ResnetBlockDY3h`.
+
+Parity target: /root/reference/model/ucdir.py:103-140. Semantics:
+  * the noise-level embedding produces `nset` mixing weights (attw);
+  * the guide image, bilinearly resized to the block's resolution, produces
+    `nset` spatial attention maps; att_sp = conv2(guide) * attw;
+  * a grouped conv produces `nset` candidate feature banks which are mixed
+    per-pixel: out = sum_k hset[..., k] * att_sp[..., k].
+
+The grouped-conv weights are declared explicitly (not through nn.Conv) so the
+fused Pallas path and the XLA reference path in `ucdir_tpu.ops.akgm` share the
+same parameter tensors. `dropout` is accepted but unused — the reference block
+has no dropout layer either (ucdir.py:104-120).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ucdir_tpu.models.layers import swish, simple_gate
+from ucdir_tpu.ops.akgm import akgm_mix
+
+
+class ResnetBlockDY3h(nn.Module):
+    dim: int
+    dim_out: int
+    nl_emb_dim: Optional[int] = None
+    dropout: float = 0.0
+    use_affine_level: bool = False
+    norm_groups: int = 1
+    nset: int = 8
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, time_emb, guide, deterministic: bool = True):
+        b, H, W, c = x.shape
+        nset = self.nset
+
+        # mixing weights from the noise-level embedding
+        attw = nn.Dense(nset, name='noise_func_0')(time_emb)
+        attw = swish(attw)
+        attw = nn.Dense(nset, name='noise_func_2')(attw)  # (b, nset)
+
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm1')(x)
+        h = nn.Conv(self.dim_out, (3, 3), padding=1, name='conv1')(h)
+        h = swish(h)
+        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm2')(h)
+
+        # spatial attention maps from the (resized) guide image
+        if guide.shape[1] != H or guide.shape[2] != W:
+            guide = jax.image.resize(
+                guide, (guide.shape[0], H, W, guide.shape[-1]),
+                method='bilinear', antialias=False)
+        g = nn.Conv(nset * 2, (1, 1), name='conv2_0')(guide)
+        g = simple_gate(g)
+        g = nn.Conv(nset, (3, 3), padding=1, name='conv2_2')(g)
+        att_sp = g * attw[:, None, None, :]  # (b, H, W, nset)
+
+        # grouped candidate banks + per-pixel mix (fused op)
+        spdy_kernel = self.param(
+            'spdyconv_kernel', nn.initializers.lecun_normal(),
+            (3, 3, self.dim_out // nset, self.dim_out * nset))
+        spdy_bias = self.param('spdyconv_bias', nn.initializers.zeros,
+                               (self.dim_out * nset,))
+        h = akgm_mix(h, att_sp, spdy_kernel, spdy_bias, nset,
+                     use_pallas=self.use_pallas)
+
+        h = swish(h)
+        if self.dim != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x)
+        else:
+            res = x
+        return h + res

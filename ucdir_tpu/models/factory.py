@@ -1,0 +1,38 @@
+"""Network factory — `define_G` equivalent.
+
+Parity target: /root/reference/model/networks.py:88-95 — string dispatch on
+`unet_name` / `diffusion_name`, UNet kwargs threaded from opt['model']['unet'],
+diffusion kwargs from opt['model']['diffusion'].
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from ucdir_tpu.models.dy3h import DY3h
+from ucdir_tpu.diffusion.base import DIFFUSIONS
+
+UNETS = {'DY3h': DY3h}
+
+
+def define_G(opt: Dict[str, Any], use_pallas: bool = False):
+    """Build the diffusion module from a parsed config (opt['model'])."""
+    model_opt = opt['model']
+    assert model_opt['which_model_G'] == 'ucdir', model_opt['which_model_G']
+
+    unet_cfg = dict(model_opt['unet'])
+    unet_cfg['channel_mults'] = tuple(unet_cfg.get('channel_mults') or (1, 2, 4, 8, 8))
+    unet_cfg['attn_res'] = tuple(unet_cfg.get('attn_res') or (8,))
+    unet_cfg.setdefault('image_size', model_opt['diffusion']['image_size'])
+    unet_cls = UNETS[model_opt.get('unet_name', 'DY3h')]
+    unet = unet_cls(use_pallas=use_pallas,
+                    **{k: v for k, v in unet_cfg.items() if v is not None})
+
+    diff_cfg = dict(model_opt['diffusion'])
+    diff_cls = DIFFUSIONS[model_opt.get('diffusion_name', 'GaussianDiffusion')]
+    return diff_cls(
+        denoise_fn=unet,
+        image_size=diff_cfg.get('image_size', 128),
+        channels=diff_cfg.get('channels', 3),
+        conditional=bool(diff_cfg.get('conditional', True)),
+        loss_type=diff_cfg.get('loss_type', 'l1'),
+    )

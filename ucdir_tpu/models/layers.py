@@ -1,0 +1,152 @@
+"""Shared building blocks (NHWC).
+
+Parity targets in /root/reference/model/ucdir.py:
+  PositionalEncoding      ucdir.py:19-29   (WaveGrad continuous-noise-level encoding)
+  FeatureWiseAffine       ucdir.py:32-45
+  Swish / SimpleGate      ucdir.py:48-50,143-152
+  Upsample / Downsample   ucdir.py:53-69
+  Block / ResnetBlock     ucdir.py:75-100
+
+All convs are `flax.linen.Conv` (NHWC x HWIO) so XLA:TPU maps them straight
+onto the MXU. Reflect padding helpers reproduce torch.nn.functional.pad
+semantics used throughout the reference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def simple_gate(x, axis=-1):
+    x1, x2 = jnp.split(x, 2, axis=axis)
+    return x1 * x2
+
+
+def reflect_pad_hw(x, pad_h, pad_w):
+    """Reflect-pad the two spatial dims of an NHWC tensor.
+    torch F.pad(x, (l, r, t, b), mode='reflect') equivalent with independent
+    left/right/top/bottom amounts given as tuples."""
+    (t, b), (l, r) = pad_h, pad_w
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode='reflect')
+
+
+def pad_to_multiple(x, fac: int, strict_extra: bool = True):
+    """Reflect-pad bottom/right so H, W become multiples of `fac`.
+
+    The reference computes pad = (h//fac + 1)*fac - h (ucdir.py:303-307), which
+    always adds at least 1 pixel (a full `fac` if already divisible) and crops
+    with [..., :-padh, :-padw]. `strict_extra=True` reproduces that exactly so
+    converted checkpoints are bit-comparable.
+    """
+    h, w = x.shape[1], x.shape[2]
+    if strict_extra:
+        padh, padw = (h // fac + 1) * fac - h, (w // fac + 1) * fac - w
+    else:
+        padh, padw = (-h) % fac, (-w) % fac
+    if padh or padw:
+        x = jnp.pad(x, ((0, 0), (0, padh), (0, padw), (0, 0)), mode='reflect')
+    return x, (padh, padw)
+
+
+def crop_pad(y, pads):
+    padh, padw = pads
+    if padh:
+        y = y[:, :-padh]
+    if padw:
+        y = y[:, :, :-padw]
+    return y
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal encoding of the continuous noise level (not integer t)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, noise_level):
+        # noise_level: (b,) or (b,1) — the continuous sqrt(alpha_cumprod).
+        noise_level = noise_level.reshape(noise_level.shape[0])
+        count = self.dim // 2
+        step = jnp.arange(count, dtype=noise_level.dtype) / count
+        enc = noise_level[:, None] * jnp.exp(-math.log(1e4) * step[None, :])
+        return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+
+
+class FeatureWiseAffine(nn.Module):
+    out_channels: int
+    use_affine_level: bool = False
+
+    @nn.compact
+    def __call__(self, x, noise_embed):
+        h = nn.Dense(self.out_channels * (1 + self.use_affine_level),
+                     name='noise_func')(noise_embed)
+        h = h[:, None, None, :]
+        if self.use_affine_level:
+            gamma, beta = jnp.split(h, 2, axis=-1)
+            return (1 + gamma) * x + beta
+        return x + h
+
+
+class Upsample(nn.Module):
+    """nearest x2 + conv3 (ucdir.py:53-60)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method='nearest')
+        return nn.Conv(self.dim, (3, 3), padding=1, name='conv')(x)
+
+
+class Downsample(nn.Module):
+    """stride-2 conv3 (ucdir.py:63-69)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=1, name='conv')(x)
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> Dropout -> Conv3 (ucdir.py:75-83)."""
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name='norm')(x)
+        x = swish(x)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        return nn.Conv(self.dim_out, (3, 3), padding=1, name='conv')(x)
+
+
+class ResnetBlock(nn.Module):
+    """Classic SR3 residual block (ucdir.py:86-100); selectable via resname."""
+    dim: int
+    dim_out: int
+    nl_emb_dim: Optional[int] = None
+    dropout: float = 0.0
+    use_affine_level: bool = False
+    norm_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, time_emb, deterministic: bool = True):
+        h = Block(self.dim_out, groups=self.norm_groups, name='block1')(x)
+        h = FeatureWiseAffine(self.dim_out, self.use_affine_level,
+                              name='noise_func')(h, time_emb)
+        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout,
+                  name='block2')(h, deterministic=deterministic)
+        if self.dim != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x)
+        else:
+            res = x
+        return h + res

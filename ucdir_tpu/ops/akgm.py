@@ -1,0 +1,55 @@
+"""AKGM candidate-bank mix: grouped 3x3 conv -> per-pixel weighted sum.
+
+The computation (reference: /root/reference/model/ucdir.py:132-137):
+    hset = grouped_conv3x3(h)            # (b, H, W, C*G), groups=G
+    hset = reshape(b, H, W, C, G)        # candidate j of channel i at i*G+j
+    out  = sum_j hset[..., j] * att[..., j]
+
+The torch implementation materializes the (b, C, G, H, W) tensor in HBM — a
+G-fold activation blow-up. `akgm_mix` computes the same thing; the Pallas path
+(`use_pallas=True`) keeps the candidate banks in VMEM, tiling over rows, so HBM
+traffic is read(h) + read(att) + write(out) only.
+
+Grouped-conv channel order: XLA (like torch) emits output features group-major
+(output feature o belongs to group o // (C_out/G)), so the (C, G) reshape below
+matches torch's `.view(b, dim_out, nset, H, w)` exactly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _grouped_conv3x3(h, kernel, bias, groups: int):
+    """NHWC grouped 3x3 conv, padding SAME(1)."""
+    y = lax.conv_general_dilated(
+        h, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def akgm_mix_reference(h, att_sp, kernel, bias, nset: int):
+    """Plain-XLA reference: materializes the (b,H,W,C,G) candidate tensor.
+
+    h: (b,H,W,C); att_sp: (b,H,W,G); kernel: (3,3,C//G, C*G) HWIO; bias (C*G,).
+    Returns (b,H,W,C).
+    """
+    b, H, W, C = h.shape
+    hset = _grouped_conv3x3(h, kernel, bias, nset)        # (b,H,W,C*G)
+    hset = hset.reshape(b, H, W, C, nset)
+    return jnp.einsum('bhwcj,bhwj->bhwc', hset, att_sp,
+                      preferred_element_type=h.dtype)
+
+
+def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False):
+    """Dispatch between the fused Pallas kernel and the XLA reference."""
+    if use_pallas:
+        from ucdir_tpu.ops.akgm_pallas import akgm_mix_pallas
+        return akgm_mix_pallas(h, att_sp, kernel, bias, nset)
+    return akgm_mix_reference(h, att_sp, kernel, bias, nset)
