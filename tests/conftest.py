@@ -2,13 +2,19 @@
 sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the shell presets JAX_PLATFORMS=axon — the real-TPU tunnel).
+# jax is already imported by the jaxtyping pytest plugin at this point, so the
+# env var alone is too late — jax captured it at import. Update the config
+# directly; the backend itself is initialized lazily, so this still works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # XLA:CPU (LLVM) compiles are slow in this image — cache them across test runs.
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')

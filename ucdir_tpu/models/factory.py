@@ -9,13 +9,15 @@ from __future__ import annotations
 from typing import Any, Dict
 
 from ucdir_tpu.models.dy3h import DY3h
-from ucdir_tpu.diffusion.base import DIFFUSIONS
 
 UNETS = {'DY3h': DY3h}
 
 
 def define_G(opt: Dict[str, Any], use_pallas: bool = False):
     """Build the diffusion module from a parsed config (opt['model'])."""
+    # deferred: diffusion.base imports models.seeindark (circular otherwise)
+    from ucdir_tpu.diffusion.base import DIFFUSIONS
+
     model_opt = opt['model']
     assert model_opt['which_model_G'] == 'ucdir', model_opt['which_model_G']
 

@@ -1,0 +1,86 @@
+"""Jitted train/eval steps with data-parallel shardings.
+
+One fused XLA program per optimizer step: gamma/noise sampling, predictor +
+denoiser forward, backward, grad all-reduce (implicit in jit partitioning over
+the 'data' mesh axis), optimizer update, EMA blend. The reference splits this
+across host python + DDP hooks (/root/reference/model/model.py:104-122).
+
+Loss normalization matches model.py:107-109: sum-reduced pixel loss divided by
+b*c*h*w of the *global* batch (equivalent to DDP's mean-of-per-rank-normalized
+losses when shards are equal).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ucdir_tpu.diffusion.sampler import sample_continuous_gamma, super_resolution
+from ucdir_tpu.schedule import NoiseSchedule
+from ucdir_tpu.train.state import TrainState
+
+
+def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Returns train_step(state, batch, key) -> (state, metrics).
+
+    batch: {'HR': (B,H,W,C), 'SR': (B,H,W,C)} — global batch; when a mesh is
+    given, inputs are sharded batch-major over the 'data' axis and params are
+    replicated, so jit inserts the gradient psum over ICI.
+    """
+
+    def train_step(state: TrainState, batch, key):
+        b, h, w, c = batch['HR'].shape
+        k_gamma, k_noise, k_drop = jax.random.split(key, 3)
+        gammas = sample_continuous_gamma(k_gamma, sched, b)
+        noise = jax.random.normal(k_noise, batch['HR'].shape,
+                                  dtype=batch['HR'].dtype)
+
+        def loss_fn(params):
+            l = module.apply({'params': params}, batch, gammas, noise,
+                             deterministic=False, rngs={'dropout': k_drop})
+            return l / (b * c * h * w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {'l_pix': loss}
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    batch_shardings = {'HR': data, 'SR': data}
+    return jax.jit(
+        train_step,
+        in_shardings=(None, batch_shardings, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
+                   continous: bool = False, sampler: str = 'ddpm',
+                   sampling_timesteps: int = 5, eta: float = 1.0) -> Callable:
+    """Returns eval_step(variables, sr_img, key) -> (sr, initx[, snaps]).
+
+    Reproduces DDPM.test (model.py:124-138): reflect-pad the degraded input by
+    `pad`, run super_resolution, crop. Everything in one jit; re-compiles per
+    distinct input shape (pad/bucket shapes upstream for a static set).
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_step(variables, sr_img, key):
+        x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode='reflect') if pad else sr_img
+        out = super_resolution(module, variables, sched, x, key,
+                               continous=continous, sampler=sampler,
+                               sampling_timesteps=sampling_timesteps, eta=eta)
+        if pad:
+            out = tuple(o[..., pad:-pad, pad:-pad, :] if o is not None and o.ndim >= 4
+                        else o for o in out)
+        return out
+
+    return eval_step
