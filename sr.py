@@ -1,0 +1,235 @@
+"""Train/val driver — CLI-compatible with the reference `sr.py`:
+
+    python sr.py -p train -c ucdir_tpu/configs/sid.yaml
+    python sr.py -p val   -c ucdir_tpu/configs/sid.yaml --checkpoint <prefix>
+
+Parity target: /root/reference/sr.py:320-587 (arg surface, loop cadences,
+logging format, per-image result naming). Differences by design:
+  * distributed init is `jax.distributed` (multi-host) + a device mesh instead
+    of one-process-per-GPU NCCL (utils/dist_utils.py in the reference);
+  * the checkpoint triple becomes one orbax directory;
+  * `--checkpoint` also accepts released PyTorch weights (auto-converted).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-c', '--config', type=str,
+                        default='ucdir_tpu/configs/sid.yaml')
+    parser.add_argument('-p', '--phase', type=str, choices=['train', 'val'],
+                        default='train')
+    parser.add_argument('-debug', '-d', action='store_true', dest='debug')
+    parser.add_argument('-enable_wandb', action='store_true')
+    parser.add_argument('-log_wandb_ckpt', action='store_true')
+    parser.add_argument('-log_eval', action='store_true')
+    parser.add_argument('--checkpoint', type=str, default=None)
+    parser.add_argument('--sampler', type=str, default='ddpm',
+                        choices=['ddpm', 'ddim'])
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='fused Pallas AKGM kernels')
+    parser.add_argument('--distributed', action='store_true',
+                        help='multi-host: call jax.distributed.initialize()')
+    args = parser.parse_args()
+
+    import jax
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from ucdir_tpu import config as Logger
+    from ucdir_tpu import data as Data
+    from ucdir_tpu import trainer as Model
+    from ucdir_tpu import metrics as Metrics
+    from ucdir_tpu.utils.logging import setup_logger
+
+    rank = jax.process_index()
+    world_size = jax.process_count()
+
+    opt = Logger.parse(args.config, phase=args.phase, checkpoint=args.checkpoint,
+                       debug=args.debug, enable_wandb=args.enable_wandb,
+                       num_processes=world_size)
+    opt['rank'], opt['world_size'] = rank, world_size
+
+    setup_logger('base', opt['path']['log'], 'train', level=logging.INFO,
+                 screen=True, process_index=rank)
+    setup_logger('val', opt['path']['log'], 'val', level=logging.INFO,
+                 process_index=rank)
+    logger = logging.getLogger('base')
+    logger.info(Logger.dict2str(opt))
+
+    try:
+        from tensorboardX import SummaryWriter
+        tb_logger = SummaryWriter(log_dir=opt['path']['tb_logger'])
+    except Exception:
+        tb_logger = None
+
+    wandb_logger = None
+    if opt['enable_wandb']:
+        try:
+            from ucdir_tpu.utils.wandb_logger import WandbLogger
+            wandb_logger = WandbLogger(opt)
+        except Exception as e:
+            logger.warning('wandb unavailable: %s', e)
+
+    # datasets
+    train_loader = val_loader = None
+    val_set = None
+    for phase, dataset_opt in opt['datasets'].items():
+        if phase == 'train' and args.phase != 'val':
+            train_set = Data.create_dataset(dataset_opt, phase)
+            train_loader = Data.create_dataloader(train_set, dataset_opt, phase,
+                                                  rank=rank,
+                                                  world_size=world_size)
+        elif phase == 'val':
+            val_set = Data.create_dataset(dataset_opt, phase)
+            val_loader = Data.create_dataloader(val_set, dataset_opt, phase,
+                                                rank=rank,
+                                                world_size=world_size)
+    logger.info('Initial Dataset Finished')
+
+    diffusion = Model.create_model(opt, use_pallas=args.use_pallas)
+    logger.info('Initial Model Finished')
+
+    current_step = diffusion.begin_step
+    current_epoch = diffusion.begin_epoch
+    n_iter = opt['train']['n_iter']
+
+    if opt['path']['resume_state']:
+        logger.info('Resuming training from epoch: {}, iter: {}.'.format(
+            current_epoch, current_step))
+
+    diffusion.set_new_noise_schedule(
+        opt['model']['beta_schedule'][opt['phase']], schedule_phase=opt['phase'])
+
+    if opt['phase'] == 'train':
+        while current_step < n_iter:
+            current_epoch += 1
+            train_loader.set_epoch(current_epoch)
+            for train_data in train_loader:
+                current_step += 1
+                if current_step > n_iter:
+                    break
+                diffusion.feed_data(train_data)
+                diffusion.optimize_parameters()
+
+                if current_step % opt['train']['print_freq'] == 0:
+                    logs = diffusion.get_current_log()
+                    message = '<epoch:{:3d}, iter:{:8,d}> {:s}'.format(
+                        current_epoch, current_step, opt['name'])
+                    for k, v in logs.items():
+                        message += '{:s}: {:.4e} '.format(k, v)
+                        if tb_logger:
+                            tb_logger.add_scalar(k, v, current_step)
+                    logger.info(message)
+                    if wandb_logger:
+                        wandb_logger.log_metrics(logs)
+
+                if (current_step % opt['train']['val_freq'] == 0
+                        or current_step in [50]):
+                    avg_psnr = 0.0
+                    idx = 0
+                    result_path = '{}/{}'.format(opt['path']['results'],
+                                                 current_epoch)
+                    os.makedirs(result_path, exist_ok=True)
+                    diffusion.set_new_noise_schedule(
+                        opt['model']['beta_schedule']['val'],
+                        schedule_phase='val')
+                    for val_data in val_loader:
+                        idx += 1
+                        diffusion.feed_data(val_data)
+                        diffusion.test(continous=False)
+                        visuals = diffusion.get_current_visuals()
+                        sr_img = Metrics.tensor2img(visuals['SR'])
+                        hr_img = Metrics.tensor2img(visuals['HR'])
+                        lr_img = Metrics.tensor2img(visuals['LR'])
+                        fake_img = Metrics.tensor2img(visuals['INF'])
+                        base = '{}/{}_{}_{}'.format(
+                            result_path, current_step + rank, idx, opt['name'])
+                        Metrics.save_img(hr_img, base + '_hr.png')
+                        Metrics.save_img(sr_img, base + '_sr.png')
+                        Metrics.save_img(lr_img, base + '_lr.png')
+                        Metrics.save_img(fake_img, base + '_inf.png')
+                        if tb_logger:
+                            tb_logger.add_image(
+                                'Iter_{}'.format(current_step + rank),
+                                np.transpose(np.concatenate(
+                                    (fake_img, sr_img, hr_img), axis=1),
+                                    [2, 0, 1]), idx)
+                        avg_psnr += Metrics.calculate_psnr(sr_img, hr_img)
+                        if wandb_logger:
+                            wandb_logger.log_image(
+                                f'validation_{idx}',
+                                np.concatenate((fake_img, sr_img, hr_img),
+                                               axis=1))
+                    avg_psnr = avg_psnr / idx
+                    diffusion.set_new_noise_schedule(
+                        opt['model']['beta_schedule']['train'],
+                        schedule_phase='train')
+                    logger.info('# Validation # PSNR: {:.4e}'.format(avg_psnr))
+                    logging.getLogger('val').info(
+                        '<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}'.format(
+                            current_epoch, current_step, avg_psnr))
+                    if tb_logger:
+                        tb_logger.add_scalar('psnr', avg_psnr, current_step)
+
+                if current_step % opt['train']['save_models'] == 0 and rank == 0:
+                    diffusion.save_network(current_epoch, current_step)
+                if (current_step % opt['train']['save_checkpoint_freq'] == 0
+                        and rank == 0):
+                    logger.info('Saving models and training states.')
+                    diffusion.save_network('latest', '')
+        logger.info('End of training.')
+    else:
+        logger.info('Begin Model Evaluation. len ' + str(len(val_loader)))
+        avg_psnr = avg_ssim = 0.0
+        idx = 0
+        result_path = '{}'.format(opt['path']['results'])
+        os.makedirs(result_path, exist_ok=True)
+        for i, val_data in enumerate(val_loader):
+            logger.info('val index %d' % i)
+            idx += 1
+            fname = ''.join(os.path.basename(
+                val_set.sr_path[int(val_data['Index'][0])]).split('.')[:-1])
+            diffusion.feed_data(val_data)
+            diffusion.test(continous=True)
+            visuals = diffusion.get_current_visuals()
+
+            hr_img = Metrics.tensor2img(visuals['HR'])
+            lr_img = Metrics.tensor2img(visuals['LR'])
+            if diffusion.pre_initx is not None:
+                fake_img = Metrics.tensor2img(diffusion.pre_initx)
+            else:
+                fake_img = Metrics.tensor2img(visuals['INF'])
+
+            sr_final = Metrics.tensor2img(visuals['SR'][-1])
+            Metrics.save_jpg(sr_final, '{}/{}_{}_sr.png'.format(
+                result_path, fname, opt['name']))
+            Metrics.save_jpg(hr_img, '{}/{}_{}_hr.png'.format(
+                result_path, fname, opt['name']))
+            Metrics.save_jpg(lr_img, '{}/{}_{}_lr.png'.format(
+                result_path, fname, opt['name']))
+            Metrics.save_jpg(fake_img, '{}/{}_{}_inf.png'.format(
+                result_path, fname, opt['name']))
+
+            eval_psnr = Metrics.calculate_psnr(sr_final, hr_img)
+            eval_ssim = Metrics.calculate_ssim(sr_final, hr_img)
+            avg_psnr += eval_psnr
+            avg_ssim += eval_ssim
+
+        avg_psnr /= idx
+        avg_ssim /= idx
+        logger.info('# Validation # PSNR: {:.4e}'.format(avg_psnr))
+        logger.info('# Validation # SSIM: {:.4e}'.format(avg_ssim))
+        logging.getLogger('val').info(
+            '<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}, ssim: {:.4e}'.format(
+                current_epoch, current_step, avg_psnr, avg_ssim))
+
+
+if __name__ == '__main__':
+    main()

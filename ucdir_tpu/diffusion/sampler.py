@@ -127,7 +127,7 @@ def ddim_sample(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
 def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
                      key: jax.Array, continous: bool = False,
                      sampler: str = 'ddpm', sampling_timesteps: int = 5,
-                     eta: float = 1.0):
+                     eta: float = 1.0, tile_opts: dict | None = None):
     """Full restoration pass for the Resi* variants.
 
     Mirrors ResiGaussianGuideDY.super_resolution (diffusion.py:473-478):
@@ -142,10 +142,24 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
     guide_mode = getattr(module, 'guide_in_sample', None)
     guide = {'initx': initx, 'degraded': x_in, None: None}[guide_mode]
 
-    def denoise(img, noise_level):
-        net_in = jnp.concatenate([x_in, img], axis=-1)
-        return module.apply(variables, net_in, noise_level, guide,
-                            method='denoise')
+    h, w = x_in.shape[1], x_in.shape[2]
+    if tile_opts is None and h * w > 1024 * 1024:
+        tile_opts = {}  # reference trigger: >1024^2 inputs tile automatically
+
+    if tile_opts is not None:
+        from ucdir_tpu.parallel.tiled import tiled_denoise_fn
+        denoise = tiled_denoise_fn(
+            module.denoise_fn, variables['params']['denoise_fn'], x_in,
+            guide if guide is not None else x_in,
+            skip=tile_opts.get('skip', 1024),
+            padding=tile_opts.get('padding', 64),
+            tile_chunk=tile_opts.get('tile_chunk', 1),
+            data_axis=tile_opts.get('data_axis'))
+    else:
+        def denoise(img, noise_level):
+            net_in = jnp.concatenate([x_in, img], axis=-1)
+            return module.apply(variables, net_in, noise_level, guide,
+                                method='denoise')
 
     if sampler == 'ddpm':
         out = p_sample_loop(denoise, x_in, sched, key, continous=continous)
