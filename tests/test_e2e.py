@@ -44,8 +44,11 @@ def _fixture_config(tmp, data_root):
         'model': {
             'which_model_G': 'ucdir', 'unet_name': 'DY3h',
             'diffusion_name': 'ResiGaussianGuideDY', 'finetune_norm': False,
+            # attn_res empty: full spatial attention at val-padded sizes is
+            # prohibitively slow on the CPU test backend (covered by the
+            # torch-parity and model tests instead)
             'unet': {'in_channel': 6, 'out_channel': 3, 'inner_channel': 8,
-                     'channel_mults': [1, 2], 'attn_res': [16],
+                     'channel_mults': [1, 2], 'attn_res': [],
                      'res_blocks': 1, 'dropout': 0.0, 'norm_groups': 1},
             'beta_schedule': {
                 'train': {'schedule': 'linear', 'n_timestep': 10,
@@ -128,7 +131,10 @@ def test_val_phase_with_orbax_checkpoint(workspace):
     ckpts = [os.path.join(p, d) for p, dirs, _ in os.walk(exp)
              for d in dirs if d.startswith('I_Elatest')]
     assert ckpts, 'train test must run first'
-    _run_sr(tmp, ['-p', 'val', '-c', cfg_path, '--checkpoint', ckpts[-1]])
+    # -debug caps the sid-forced 50-step val schedule at 10 steps
+    # (core/logger.py:171-179 applies the debug shrink after val overrides)
+    _run_sr(tmp, ['-p', 'val', '-c', cfg_path, '--checkpoint', ckpts[-1],
+                  '-debug'])
     val_logs = _find(exp, 'val.log')
     joined = ''.join(open(p).read() for p in sorted(val_logs))
     assert 'psnr' in joined and 'ssim' in joined

@@ -64,7 +64,9 @@ def create_train_state(params, tx: optax.GradientTransformation,
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema.use else params,
+        # always a distinct copy: aliasing params would make jit buffer
+        # donation see the same buffer twice
+        ema_params=jax.tree_util.tree_map(jnp.array, params),
         opt_state=tx.init(params),
         tx=tx,
         ema=ema,
