@@ -48,19 +48,26 @@ def main():
         {'params': key, 'dropout': key}, init_x,
         jnp.ones((b, 1), jnp.float32) * 0.5, jnp.zeros_like(x))
 
-    f = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k)[0])
+    def run(compute_dtype, n_iters=3):
+        f = jax.jit(lambda v, x, k: super_resolution(
+            module, v, sched, x, k, compute_dtype=compute_dtype)[0])
+        t0 = time.time()
+        out = f(variables, x, key)
+        out.block_until_ready()
+        compile_t = time.time() - t0
+        t0 = time.time()
+        for i in range(n_iters):
+            out = f(variables, x, jax.random.fold_in(key, i))
+        out.block_until_ready()
+        return (time.time() - t0) / n_iters, compile_t, out
 
-    t0 = time.time()
-    out = f(variables, x, key)
-    out.block_until_ready()
-    compile_and_first = time.time() - t0
-
-    n_iters = 3
-    t0 = time.time()
-    for i in range(n_iters):
-        out = f(variables, x, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = (time.time() - t0) / n_iters
+    dt32, c32, out32 = run(None)
+    dt16, c16, out16 = run(jnp.bfloat16)
+    # bf16 sanity: trajectories should agree closely (same keys, same weights)
+    dev = float(jnp.mean(jnp.abs(out16 - out32)))
+    use_bf16 = dev < 0.05
+    dt = dt16 if use_bf16 else dt32
+    compile_and_first = c16 if use_bf16 else c32
     images_per_sec = b / dt
 
     vs_baseline = 1.0
@@ -84,8 +91,10 @@ def main():
         'unit': 'images/sec/chip',
         'vs_baseline': round(vs_baseline, 4),
     }))
-    print('# compile+first: %.1fs, steady-state per image: %.3fs'
-          % (compile_and_first, dt), file=sys.stderr)
+    print('# compile+first: %.1fs; per image fp32 %.3fs, bf16 %.3fs; '
+          'bf16 mean|dev| vs fp32: %.4f (headline dtype: %s)'
+          % (compile_and_first, dt32, dt16, dev,
+             'bf16' if use_bf16 else 'fp32'), file=sys.stderr)
 
 
 if __name__ == '__main__':

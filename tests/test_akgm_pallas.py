@@ -1,0 +1,54 @@
+"""Fused Pallas AKGM kernel vs the XLA reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from ucdir_tpu.ops.akgm import akgm_mix_reference
+from ucdir_tpu.ops.akgm_pallas import akgm_mix_pallas
+
+
+def _data(rng, B=1, H=6, W=16, C=16, G=8):
+    h = jnp.asarray(rng.standard_normal((B, H, W, C)) * 0.5, jnp.float32)
+    att = jnp.asarray(rng.standard_normal((B, H, W, G)) * 0.5, jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((3, 3, C // G, C * G)) * 0.1,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C * G,)) * 0.1, jnp.float32)
+    return h, att, kernel, bias, G
+
+
+def test_pallas_matches_reference(rng):
+    h, att, kernel, bias, G = _data(rng)
+    want = akgm_mix_reference(h, att, kernel, bias, G)
+    with pltpu.force_tpu_interpret_mode():
+        got = akgm_mix_pallas(h, att, kernel, bias, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_matches_reference_batched_larger(rng):
+    h, att, kernel, bias, G = _data(rng, B=2, H=8, W=24, C=32)
+    want = akgm_mix_reference(h, att, kernel, bias, G)
+    with pltpu.force_tpu_interpret_mode():
+        got = akgm_mix_pallas(h, att, kernel, bias, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradients_match_reference(rng):
+    h, att, kernel, bias, G = _data(rng, H=4, W=8, C=16)
+
+    def loss_ref(h, a, k, b):
+        return jnp.sum(akgm_mix_reference(h, a, k, b, G) ** 2)
+
+    def loss_pl(h, a, k, b):
+        return jnp.sum(akgm_mix_pallas(h, a, k, b, G) ** 2)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(h, att, kernel, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(h, att, kernel, bias)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-4)

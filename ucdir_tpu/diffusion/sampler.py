@@ -127,7 +127,8 @@ def ddim_sample(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
 def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
                      key: jax.Array, continous: bool = False,
                      sampler: str = 'ddpm', sampling_timesteps: int = 5,
-                     eta: float = 1.0, tile_opts: dict | None = None):
+                     eta: float = 1.0, tile_opts: dict | None = None,
+                     compute_dtype=None):
     """Full restoration pass for the Resi* variants.
 
     Mirrors ResiGaussianGuideDY.super_resolution (diffusion.py:473-478):
@@ -136,8 +137,19 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
     Jit this via functools.partial / closure; everything is traceable.
     """
     has_pred = getattr(module, 'has_predictor', False)
-    initx = module.apply(variables, x_in, method='predict_init') if has_pred \
-        else None
+    if compute_dtype is not None:
+        # mixed precision: bf16 weights/activations through the UNets (conv
+        # accumulation stays f32 on the MXU); the scan-state posterior math
+        # below stays f32. Opt-in via e.g. compute_dtype=jnp.bfloat16.
+        variables = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), variables)
+        x_in_net = x_in.astype(compute_dtype)
+    else:
+        x_in_net = x_in
+    initx = None
+    if has_pred:
+        initx = module.apply(variables, x_in_net,
+                             method='predict_init').astype(x_in.dtype)
 
     guide_mode = getattr(module, 'guide_in_sample', None)
     guide = {'initx': initx, 'degraded': x_in, None: None}[guide_mode]
@@ -146,20 +158,29 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
     if tile_opts is None and h * w > 1024 * 1024:
         tile_opts = {}  # reference trigger: >1024^2 inputs tile automatically
 
+    net_dtype = x_in_net.dtype
+    guide_net = guide.astype(net_dtype) if guide is not None else None
+
     if tile_opts is not None:
         from ucdir_tpu.parallel.tiled import tiled_denoise_fn
-        denoise = tiled_denoise_fn(
-            module.denoise_fn, variables['params']['denoise_fn'], x_in,
-            guide if guide is not None else x_in,
+        tiled = tiled_denoise_fn(
+            module.denoise_fn, variables['params']['denoise_fn'], x_in_net,
+            guide_net if guide_net is not None else x_in_net,
             skip=tile_opts.get('skip', 1024),
             padding=tile_opts.get('padding', 64),
             tile_chunk=tile_opts.get('tile_chunk', 1),
             data_axis=tile_opts.get('data_axis'))
+
+        def denoise(img, noise_level):
+            return tiled(img.astype(net_dtype),
+                         noise_level.astype(net_dtype)).astype(img.dtype)
     else:
         def denoise(img, noise_level):
-            net_in = jnp.concatenate([x_in, img], axis=-1)
-            return module.apply(variables, net_in, noise_level, guide,
-                                method='denoise')
+            net_in = jnp.concatenate([x_in_net, img.astype(net_dtype)],
+                                     axis=-1)
+            return module.apply(variables, net_in,
+                                noise_level.astype(net_dtype), guide_net,
+                                method='denoise').astype(img.dtype)
 
     if sampler == 'ddpm':
         out = p_sample_loop(denoise, x_in, sched, key, continous=continous)

@@ -63,7 +63,8 @@ def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
 
 def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                    continous: bool = False, sampler: str = 'ddpm',
-                   sampling_timesteps: int = 5, eta: float = 1.0) -> Callable:
+                   sampling_timesteps: int = 5, eta: float = 1.0,
+                   compute_dtype=None) -> Callable:
     """Returns eval_step(variables, sr_img, key) -> (sr, initx[, snaps]).
 
     Reproduces DDPM.test (model.py:124-138): reflect-pad the degraded input by
@@ -77,7 +78,8 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                     mode='reflect') if pad else sr_img
         out = super_resolution(module, variables, sched, x, key,
                                continous=continous, sampler=sampler,
-                               sampling_timesteps=sampling_timesteps, eta=eta)
+                               sampling_timesteps=sampling_timesteps, eta=eta,
+                               compute_dtype=compute_dtype)
         if pad:
             out = tuple(o[..., pad:-pad, pad:-pad, :] if o is not None and o.ndim >= 4
                         else o for o in out)
