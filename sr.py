@@ -19,6 +19,79 @@ import os
 import numpy as np
 
 
+def val_patch(opt, val_loader, val_set, diffusion, Metrics, logger,
+              skip: int = 1024, padding: int = 64):
+    """Outer-loop tiled sampling: each tile runs its own full reverse process
+    (reference alt driver `val_patch`, sr.py:17-57 — contrast with the
+    intra-step tiling in ucdir_tpu.parallel.tiled)."""
+    result_path = opt['path']['results']
+    os.makedirs(result_path, exist_ok=True)
+    avg_psnr, idx = 0.0, 0
+    shift = skip - 2 * padding
+    for val_data in val_loader:
+        idx += 1
+        sr = np.asarray(val_data['SR'])
+        b, h, w, c = sr.shape
+        pd = min(h, w)
+        pd = skip - pd + padding if pd < skip else padding
+        sr_pad = np.pad(sr, ((0, 0), (pd, pd), (pd, pd), (0, 0)), 'reflect')
+        H, W = sr_pad.shape[1:3]
+        out = np.zeros_like(sr_pad[..., :3])
+        for i in range(0, H, shift):
+            hs, he = i, i + skip
+            if he > H:
+                hs, he = H - skip, H
+            for j in range(0, W, shift):
+                ws, we = j, j + skip
+                if we > W:
+                    ws, we = W - skip, W
+                diffusion.feed_data({'SR': sr_pad[:, hs:he, ws:we],
+                                     'HR': sr_pad[:, hs:he, ws:we]})
+                diffusion.test(continous=False)
+                out[:, hs + padding:he - padding, ws + padding:we - padding] = \
+                    diffusion.SR[:, padding:-padding, padding:-padding]
+        out = out[:, pd:-pd, pd:-pd]
+        sr_img = Metrics.tensor2img(out)
+        hr_img = Metrics.tensor2img(np.asarray(val_data['HR']))
+        fname = ''.join(os.path.basename(
+            val_set.sr_path[int(val_data['Index'][0])]).split('.')[:-1])
+        Metrics.save_jpg(sr_img, '{}/{}_{}_sr.png'.format(
+            result_path, fname, opt['name']))
+        Metrics.save_jpg(hr_img, '{}/{}_{}_hr.png'.format(
+            result_path, fname, opt['name']))
+        avg_psnr += Metrics.calculate_psnr(sr_img, hr_img)
+    logger.info('# val_patch # PSNR: {:.4e}'.format(avg_psnr / max(idx, 1)))
+
+
+def search_params(opt, val_loader, diffusion, Metrics, logger,
+                  n_timesteps=(25, 50, 100), linear_ends=(0.2, 0.4, 0.6)):
+    """Grid search over the val sampler hyperparameters with per-cell image
+    dumps (reference alt driver `search_params`, sr.py:60-126)."""
+    result_path = opt['path']['results']
+    os.makedirs(result_path, exist_ok=True)
+    for nt in n_timesteps:
+        for le in linear_ends:
+            sched_opt = dict(opt['model']['beta_schedule']['val'])
+            sched_opt['n_timestep'] = nt
+            sched_opt['linear_end'] = le
+            diffusion.set_new_noise_schedule(sched_opt, 'val', force=True)
+            psnr, idx = 0.0, 0
+            for val_data in val_loader:
+                idx += 1
+                diffusion.feed_data(val_data)
+                diffusion.test(continous=False)
+                visuals = diffusion.get_current_visuals()
+                sr_img = Metrics.tensor2img(visuals['SR'])
+                hr_img = Metrics.tensor2img(visuals['HR'])
+                psnr += Metrics.calculate_psnr(sr_img, hr_img)
+                Metrics.save_jpg(sr_img, '{}/s{}_e{}_{}_sr.png'.format(
+                    result_path, nt, le, idx))
+                if idx >= 3:
+                    break
+            logger.info('# search steps=%d linear_end=%.2f PSNR: %.4f'
+                        % (nt, le, psnr / idx))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('-c', '--config', type=str,
@@ -31,11 +104,19 @@ def main():
     parser.add_argument('-log_eval', action='store_true')
     parser.add_argument('--checkpoint', type=str, default=None)
     parser.add_argument('--sampler', type=str, default='ddpm',
-                        choices=['ddpm', 'ddim'])
+                        choices=['ddpm', 'ddim', 'dpmpp'])
+    parser.add_argument('--sampling_timesteps', type=int, default=None,
+                        help='steps for ddim/dpmpp (defaults: 5 / 20)')
+    parser.add_argument('--compute_dtype', type=str, default=None,
+                        choices=['bf16'], help='mixed-precision sampling')
     parser.add_argument('--use_pallas', action='store_true',
                         help='fused Pallas AKGM kernels')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
+    parser.add_argument('--val_patch', action='store_true',
+                        help='outer-loop tiled sampling alt driver')
+    parser.add_argument('--search_params', action='store_true',
+                        help='val sampler hyperparameter grid search')
     args = parser.parse_args()
 
     import jax
@@ -55,6 +136,9 @@ def main():
                        debug=args.debug, enable_wandb=args.enable_wandb,
                        num_processes=world_size)
     opt['rank'], opt['world_size'] = rank, world_size
+    opt['sampler'] = args.sampler
+    opt['sampling_timesteps'] = args.sampling_timesteps
+    opt['compute_dtype'] = args.compute_dtype
 
     setup_logger('base', opt['path']['log'], 'train', level=logging.INFO,
                  screen=True, process_index=rank)
@@ -187,6 +271,12 @@ def main():
         logger.info('End of training.')
     else:
         logger.info('Begin Model Evaluation. len ' + str(len(val_loader)))
+        if args.search_params:
+            search_params(opt, val_loader, diffusion, Metrics, logger)
+            return
+        if args.val_patch:
+            val_patch(opt, val_loader, val_set, diffusion, Metrics, logger)
+            return
         avg_psnr = avg_ssim = 0.0
         idx = 0
         result_path = '{}'.format(opt['path']['results'])

@@ -1,6 +1,14 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so multi-chip
 sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
+import sys
+
+# repo root must precede the reference checkout on sys.path (parity tests
+# add /root/reference, whose top-level sr.py/eval1.py collide with ours)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT in sys.path:
+    sys.path.remove(_ROOT)
+sys.path.insert(0, _ROOT)
 
 # Force CPU (the shell presets JAX_PLATFORMS=axon — the real-TPU tunnel).
 # jax is already imported by the jaxtyping pytest plugin at this point, so the

@@ -59,7 +59,7 @@ def test_diffjpeg_differentiable_grads(rng):
 @pytest.mark.skipif(not os.path.isdir(REF), reason='no reference checkout')
 def test_diffjpeg_parity_vs_torch(rng):
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     torch = pytest.importorskip('torch')
     from data.diffjpeg import DiffJPEG as TorchDiffJPEG
 

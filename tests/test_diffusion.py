@@ -111,3 +111,31 @@ def test_sampling_deterministic_given_key():
     a = f(variables, x_in['SR'], KEY)
     b = f(variables, x_in['SR'], KEY)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dpm_solver_pp_runs():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(dict(schedule='linear', n_timestep=50,
+                               linear_start=1e-6, linear_end=0.4))
+    f = jax.jit(lambda v, x, k: super_resolution(
+        module, v, sched, x, k, sampler='dpmpp', sampling_timesteps=10))
+    sr, initx = f(variables, x_in['SR'], KEY)
+    assert sr.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(sr)).all()
+    # deterministic given key
+    sr2, _ = f(variables, x_in['SR'], KEY)
+    np.testing.assert_array_equal(np.asarray(sr), np.asarray(sr2))
+
+
+def test_bf16_sampling_close_to_fp32():
+    module = tiny_module()
+    variables, x_in = init_vars(module)
+    sched = make_schedule(VAL_SCHED)
+    f32 = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k)[0])
+    f16 = jax.jit(lambda v, x, k: super_resolution(
+        module, v, sched, x, k, compute_dtype=jnp.bfloat16)[0])
+    a = np.asarray(f32(variables, x_in['SR'], KEY))
+    b = np.asarray(f16(variables, x_in['SR'], KEY))
+    assert b.dtype == np.float32  # posterior math stays f32
+    assert np.mean(np.abs(a - b)) < 0.05

@@ -81,7 +81,7 @@ def test_niqe_runs(rng):
 @pytest.mark.skipif(not os.path.isdir(REF), reason='no reference checkout')
 def test_niqe_parity_vs_reference(rng):
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     try:
         from metric.niqe import calculate_niqe as ref_niqe
     except Exception as e:

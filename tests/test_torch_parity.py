@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason='reference checkout not available')
 
 if os.path.isdir(REF) and REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 import jax
 import jax.numpy as jnp

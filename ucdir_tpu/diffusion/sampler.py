@@ -188,6 +188,11 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
         out = ddim_sample(denoise, x_in, sched, key,
                           sampling_timesteps=sampling_timesteps, eta=eta,
                           continous=continous)
+    elif sampler == 'dpmpp':
+        from ucdir_tpu.diffusion.dpm_solver import dpm_solver_pp_sample
+        out = dpm_solver_pp_sample(denoise, x_in, sched, key,
+                                   steps=sampling_timesteps,
+                                   continous=continous)
     else:
         raise NotImplementedError(sampler)
 

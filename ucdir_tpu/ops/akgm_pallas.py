@@ -40,7 +40,6 @@ def _regroup_kernel(kernel, C: int, G: int):
 def _akgm_kernel(h_ref, att_ref, kg_ref, bias_ref, out_ref, *, C, G, W):
     cg = C // G
     att = att_ref[0, 0]                             # (W, G)
-    acc = jnp.zeros((W, C), jnp.float32)
     for g in range(G):
         cols = []
         for ty in range(3):
@@ -51,8 +50,9 @@ def _akgm_kernel(h_ref, att_ref, kg_ref, bias_ref, out_ref, *, C, G, W):
         y = y + bias_ref[0, g * C:(g + 1) * C]
         y = y.reshape(W, cg, G)                     # candidate j minor
         mixed = jnp.sum(y * att[:, None, :], axis=-1)   # (W, C/G)
-        acc = acc.at[:, g * cg:(g + 1) * cg].set(mixed)
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+        # static sliced store per group (functional .at[] lowers to scatter,
+        # which Mosaic does not support)
+        out_ref[0, 0, :, g * cg:(g + 1) * cg] = mixed.astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -113,8 +113,15 @@ class Trainer:
         key = (continous, self.schedule_phase)
         if key not in self._eval_fns:
             sched = self.schedules[self.schedule_phase]
-            self._eval_fns[key] = make_eval_step(self.module, sched, pad=64,
-                                                 continous=continous)
+            sampler = self.opt.get('sampler') or 'ddpm'
+            steps = int(self.opt.get('sampling_timesteps') or
+                        (20 if sampler == 'dpmpp' else 5))
+            dtype = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
+                self.opt.get('compute_dtype') or '')
+            self._eval_fns[key] = make_eval_step(
+                self.module, sched, pad=64, continous=continous,
+                sampler=sampler, sampling_timesteps=steps,
+                compute_dtype=dtype)
         return self._eval_fns[key]
 
     def _current_eval_params(self):
