@@ -119,3 +119,17 @@ def test_param_count_full_model():
     n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes['params']))
     # DY3h(inner 64, mults 1,2,4,8,8, res_blocks 2) + UNetSeeInDark
     assert 50e6 < n < 200e6, n
+
+
+def test_akgm_densified_matches_grouped(rng):
+    from ucdir_tpu.ops.akgm import akgm_mix_densified
+    b, H, W, C, G = 2, 8, 8, 16, 8
+    h = jnp.asarray(rng.standard_normal((b, H, W, C)), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((b, H, W, G)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((3, 3, C // G, C * G)) * 0.1,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C * G,)) * 0.1, jnp.float32)
+    a = akgm_mix_reference(h, att, kernel, bias, G)
+    d = akgm_mix_densified(h, att, kernel, bias, G)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(a),
+                               rtol=2e-4, atol=2e-4)

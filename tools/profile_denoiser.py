@@ -5,15 +5,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import numpy as np
 
+def _sync(out):
+    # device-side reduce + 4-byte fetch: synchronizes without shipping the
+    # full buffer over the axon tunnel
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+
 def timeit(f, *args, n=5, warmup=2):
-    # axon: block_until_ready does not synchronize; force a host transfer
     for _ in range(warmup):
         out = f(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = f(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     return (time.perf_counter() - t0) / n
 
 def main():

@@ -47,9 +47,37 @@ def akgm_mix_reference(h, att_sp, kernel, bias, nset: int):
                       preferred_element_type=h.dtype)
 
 
+def _densify_kernel(kernel, C: int, G: int):
+    """Zero-expand a grouped HWIO kernel (3,3,C/G,C*G) to dense (3,3,C,C*G).
+
+    XLA:TPU lowers feature-grouped convs poorly (measured 0.9 TFLOP/s at
+    672^2/C=64 vs 3.3x faster as a dense conv with zero blocks, despite the
+    G-fold FLOP waste) — the MXU eats the zeros for free relative to the
+    grouped lowering.
+    """
+    cg = C // G
+    kd = jnp.zeros((3, 3, C, C * G), kernel.dtype)
+    for g in range(G):
+        kd = kd.at[:, :, g * cg:(g + 1) * cg, g * C:(g + 1) * C].set(
+            kernel[:, :, :, g * C:(g + 1) * C])
+    return kd
+
+
+def akgm_mix_densified(h, att_sp, kernel, bias, nset: int):
+    """Same math as the reference, grouped conv expressed as a dense conv."""
+    b, H, W, C = h.shape
+    kd = _densify_kernel(kernel, C, nset)
+    hset = lax.conv_general_dilated(
+        h, kd, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+    hset = hset.reshape(b, H, W, C, nset)
+    return jnp.einsum('bhwcj,bhwj->bhwc', hset, att_sp,
+                      preferred_element_type=h.dtype)
+
+
 def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False):
-    """Dispatch between the fused Pallas kernel and the XLA reference."""
+    """Dispatch: fused Pallas kernel / densified-conv XLA (default)."""
     if use_pallas:
         from ucdir_tpu.ops.akgm_pallas import akgm_mix_pallas
         return akgm_mix_pallas(h, att_sp, kernel, bias, nset)
-    return akgm_mix_reference(h, att_sp, kernel, bias, nset)
+    return akgm_mix_densified(h, att_sp, kernel, bias, nset)

@@ -73,8 +73,10 @@ def _akgm_forward(h, att_sp, kernel, bias, nset: int):
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
         grid=grid,
         in_specs=[
-            # overlapping 3-row halo slab: Element dim -> start offset y
-            pl.BlockSpec((1, _Element(3), W + 2, C),
+            # overlapping 3-row halo slab: Element dims take elementwise start
+            # offsets (Mosaic requires all dims Element when any is)
+            pl.BlockSpec((_Element(1), _Element(3), _Element(W + 2),
+                          _Element(C)),
                          lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W, G), lambda b, y: (b, y, 0, 0),
