@@ -133,3 +133,17 @@ def test_akgm_densified_matches_grouped(rng):
     d = akgm_mix_densified(h, att, kernel, bias, G)
     np.testing.assert_allclose(np.asarray(d), np.asarray(a),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_akgm_smallconvs_matches_grouped(rng):
+    from ucdir_tpu.ops.akgm import akgm_mix_smallconvs
+    b, H, W, C, G = 2, 8, 8, 16, 8
+    h = jnp.asarray(rng.standard_normal((b, H, W, C)), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((b, H, W, G)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((3, 3, C // G, C * G)) * 0.1,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C * G,)) * 0.1, jnp.float32)
+    a = akgm_mix_reference(h, att, kernel, bias, G)
+    s = akgm_mix_smallconvs(h, att, kernel, bias, G)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(a),
+                               rtol=2e-4, atol=2e-4)

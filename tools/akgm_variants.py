@@ -57,7 +57,7 @@ def pallas_fused(att, kernel, bias, h):
     from ucdir_tpu.ops.akgm_pallas import akgm_mix_pallas
     return akgm_mix_pallas(h, att, kernel, bias, 8)
 
-for (S, C) in [(672, 64), (336, 128), (84, 512)]:
+for (S, C) in [(672, 64), (336, 128), (168, 256), (84, 512)]:
     G = 8
     h = jax.random.normal(key, (1, S, S, C), dt)
     att = jax.random.normal(key, (1, S, S, G), dt)
