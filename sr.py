@@ -110,7 +110,7 @@ def main():
     parser.add_argument('--compute_dtype', type=str, default=None,
                         choices=['bf16'], help='mixed-precision sampling')
     parser.add_argument('--use_pallas', action='store_true',
-                        help='fused Pallas AKGM kernels')
+                        help="fused Pallas AKGM kernels (helps fp32; bf16 is faster via the XLA dispatch)")
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
     parser.add_argument('--val_patch', action='store_true',

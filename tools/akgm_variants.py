@@ -6,7 +6,8 @@ from jax import lax
 import numpy as np
 
 key = jax.random.PRNGKey(0)
-dt = jnp.bfloat16
+import sys as _sys
+dt = jnp.float32 if "--fp32" in _sys.argv else jnp.bfloat16
 N = 20
 
 def bench(name, f, *args):

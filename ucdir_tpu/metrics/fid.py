@@ -63,6 +63,19 @@ def patch_decompose(img: np.ndarray, ps: int = 256) -> np.ndarray:
         .swapaxes(1, 2).reshape(-1, ps, ps, img.shape[-1])
 
 
+def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
+    """IS from softmax class probabilities (N, 1000): exp(mean KL(p(y|x)||p(y)))
+    per split (reference eval1.py:74-130, defined but unused in its main)."""
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
+        scores.append(float(np.exp(kl.sum(axis=1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
 def inception_features(images, weights: Optional[str] = None,
                        batch_size: int = 64) -> np.ndarray:
     """InceptionV3 pool3 features; requires converted pretrained weights."""
