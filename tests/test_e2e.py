@@ -57,7 +57,7 @@ def _fixture_config(tmp, data_root):
                         'linear_start': 1e-6, 'linear_end': 0.4}},
             'diffusion': {'image_size': 32, 'channels': 3, 'conditional': True},
         },
-        'train': {'n_iter': 6, 'val_freq': 3, 'save_checkpoint_freq': 3,
+        'train': {'n_iter': 4, 'val_freq': 4, 'save_checkpoint_freq': 2,
                   'save_models': 1000000, 'print_freq': 2,
                   'optimizer': {'type': 'adamw', 'lr': 1e-4},
                   'ema_scheduler': {'use': True, 'step_start_ema': 2,
@@ -120,7 +120,7 @@ def test_train_loop_e2e(workspace):
     assert 'l_pix' in text
     # in-train validation ran and saved images
     assert _find(exp, '_sr.png')
-    # checkpoint saved ('latest' at step 3 and 6)
+    # checkpoint saved ('latest' at steps 2 and 4)
     assert any('I_Elatest' in d for d in
                [p for p, _, _ in os.walk(exp)]), 'no latest checkpoint dir'
 
