@@ -95,6 +95,13 @@ class Trainer:
     def optimize_parameters(self):
         batch = {'HR': jnp.asarray(self.data['HR'], jnp.float32),
                  'SR': jnp.asarray(self.data['SR'], jnp.float32)}
+        if jax.process_count() > 1 and self.mesh is not None:
+            # multi-host: assemble the global batch from per-process shards
+            # (each process loads its EnlargedSampler shard)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P('data'))
+            batch = {k: jax.make_array_from_process_local_data(sharding, v)
+                     for k, v in batch.items()}
         self.key, k = jax.random.split(self.key)
         self.state, metrics = self._train_step(self.state, batch, k)
         self.log_dict['l_pix'] = float(metrics['l_pix'])
