@@ -97,8 +97,11 @@ def main():
             fid_from_features, kid_from_features
 
         def load_dir(p):
-            return np.stack([cv2.imread(os.path.join(p, f))
-                             for f in sorted(os.listdir(p))])
+            files = sorted(os.listdir(p))
+            if not files:
+                raise RuntimeError('no 256px patches (images smaller than '
+                                   'the patch size) — FID/KID undefined')
+            return np.stack([cv2.imread(os.path.join(p, f)) for f in files])
         f1 = inception_features(load_dir(gt_save_path))
         f2 = inception_features(load_dir(sr_save_path))
         print('FID: {}'.format(fid_from_features(f1, f2)))

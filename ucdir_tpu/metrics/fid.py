@@ -57,10 +57,13 @@ def kid_from_features(feats1: np.ndarray, feats2: np.ndarray,
 def patch_decompose(img: np.ndarray, ps: int = 256) -> np.ndarray:
     """HWC -> (n, ps, ps, C) non-overlapping patch grid (eval1.py:236-241)."""
     h, w = img.shape[:2]
+    c = img.shape[-1]
     hs, ws = h // ps * ps, w // ps * ps
     img = img[:hs, :ws]
-    return img.reshape(hs // ps, ps, ws // ps, ps, -1) \
-        .swapaxes(1, 2).reshape(-1, ps, ps, img.shape[-1])
+    # explicit channel count: images smaller than ps yield an empty (0,...)
+    # patch set, where -1 reshapes are ambiguous
+    return img.reshape(hs // ps, ps, ws // ps, ps, c) \
+        .swapaxes(1, 2).reshape(-1, ps, ps, c)
 
 
 def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
