@@ -147,3 +147,21 @@ def test_akgm_smallconvs_matches_grouped(rng):
     s = akgm_mix_smallconvs(h, att, kernel, bias, G)
     np.testing.assert_allclose(np.asarray(s), np.asarray(a),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_attention_matches_full(rng):
+    """flash-style path vs dense softmax attention on the same weights."""
+    import ucdir_tpu.models.attention as attn_mod
+    m = SelfAttention(in_channel=16, norm_groups=1)
+    x = jnp.asarray(rng.standard_normal((1, 24, 24, 16)) * 0.5, jnp.float32)
+    v = jax.jit(m.init)(KEY, x)
+    full = jax.jit(m.apply)(v, x)
+    old_thresh, old_chunk = attn_mod._STREAM_TOKENS, attn_mod._CHUNK
+    try:
+        attn_mod._STREAM_TOKENS = 64   # force the streaming path
+        attn_mod._CHUNK = 128          # non-divisible: exercises padding
+        stream = jax.jit(m.apply)(v, x)
+    finally:
+        attn_mod._STREAM_TOKENS, attn_mod._CHUNK = old_thresh, old_chunk
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)

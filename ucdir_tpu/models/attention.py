@@ -1,16 +1,50 @@
 """Full spatial self-attention (reference: /root/reference/model/ucdir.py:155-182).
 
-Applied only where the feature resolution is in `attn_res` (16x16 with the
-shipped config) and in the first mid block — a few hundred tokens, so a plain
-XLA einsum softmax is already MXU-bound; no flash kernel needed at this size.
-Note the reference scales by 1/sqrt(full channel count), not head_dim — kept.
+Applied where the feature resolution is in `attn_res` (16x16 with the shipped
+config at train crops) and in the first mid block. Note the reference scales
+by 1/sqrt(full channel count), not head_dim — kept.
+
+At high-resolution inference the attended maps get big (a 1024 tile puts
+attention at 128x128 = 16384 tokens -> a 1 GB score matrix per head); above
+`_STREAM_TOKENS` tokens the computation switches to a streaming
+(flash-attention-style) scan over query chunks with an online softmax —
+identical math, O(N * chunk) memory instead of O(N^2).
 """
 from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+_STREAM_TOKENS = 4096
+_CHUNK = 1024
+
+
+def _streaming_attention(q, k, v, scale):
+    """softmax(q k^T * scale) v via online-softmax over query chunks.
+
+    q, k, v: (b, n_head, N, d). Returns (b, n_head, N, d), f32 accumulation.
+    """
+    b, nh, N, d = q.shape
+    n_pad = (-N) % _CHUNK
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    n_chunks = qp.shape[2] // _CHUNK
+    qc = qp.reshape(b, nh, n_chunks, _CHUNK, d).transpose(2, 0, 1, 3, 4)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def one_chunk(qi):
+        s = jnp.einsum('bnqd,bnkd->bnqk', qi.astype(jnp.float32), kf) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        num = jnp.einsum('bnqk,bnkd->bnqd', p, vf)
+        return num / jnp.sum(p, axis=-1, keepdims=True)
+
+    out = jax.lax.map(one_chunk, qc)                     # (n_chunks,b,nh,C,d)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n_chunks * _CHUNK, d)
+    return out[:, :, :N].astype(q.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -31,13 +65,19 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h, w, n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        attn = jnp.einsum('bhwnd,byxnd->bnhwyx', q, k,
-                          preferred_element_type=jnp.float32) / math.sqrt(c)
-        attn = attn.reshape(b, n_head, h, w, h * w)
-        attn = nn.softmax(attn, axis=-1)
-        attn = attn.reshape(b, n_head, h, w, h, w).astype(v.dtype)
-
-        out = jnp.einsum('bnhwyx,byxnd->bhwnd', attn, v)
-        out = out.reshape(b, h, w, c)
+        if h * w > _STREAM_TOKENS:
+            qs = q.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
+            ks = k.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
+            vs = v.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
+            o = _streaming_attention(qs, ks, vs, 1.0 / math.sqrt(c))
+            out = o.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        else:
+            attn = jnp.einsum('bhwnd,byxnd->bnhwyx', q, k,
+                              preferred_element_type=jnp.float32) / math.sqrt(c)
+            attn = attn.reshape(b, n_head, h, w, h * w)
+            attn = nn.softmax(attn, axis=-1)
+            attn = attn.reshape(b, n_head, h, w, h, w).astype(v.dtype)
+            out = jnp.einsum('bnhwyx,byxnd->bhwnd', attn, v)
+            out = out.reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), name='out')(out)
         return out + x
