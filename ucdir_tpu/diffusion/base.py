@@ -31,6 +31,9 @@ from ucdir_tpu.models.seeindark import UNetSeeInDark
 
 
 def _loss(loss_type: str, a, b):
+    # f32 accumulation regardless of compute dtype (bf16 sums drift)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     if loss_type == 'l1':
         return jnp.sum(jnp.abs(a - b))
     if loss_type == 'l2':

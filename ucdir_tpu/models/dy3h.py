@@ -76,6 +76,10 @@ class DY3h(nn.Module):
     image_size: int = 128
     resname: str = 'ResnetBlockDY3h'
     use_pallas: bool = False
+    # gradient checkpointing per block: activations of a block are recomputed
+    # in the backward pass (the reference trains batch 4/GPU on 40GB+ cards;
+    # one 16GB TPU chip needs remat to reach comparable per-chip batch sizes)
+    remat: bool = False
 
     def _plan(self):
         """Static layer plan mirroring the reference constructor loops."""
@@ -123,41 +127,45 @@ class DY3h(nn.Module):
             t = None
 
         downs, mid_channel, ups, prec = self._plan()
+        block_cls = ResnetBlocWithAttn
+        if self.remat:
+            # deterministic (arg 4 incl. self) is a static python bool
+            block_cls = nn.remat(ResnetBlocWithAttn, static_argnums=(4,))
 
         x = nn.Conv(self.inner_channel, (3, 3), padding=1, name='downs_0')(x)
         feats = [x]
         for i, (kind, dim, dim_out, with_attn) in enumerate(downs):
             name = f'downs_{i + 1}'
             if kind == 'block':
-                x = ResnetBlocWithAttn(
+                x = block_cls(
                     dim, dim_out, nl_emb_dim=nlc, norm_groups=self.norm_groups,
                     dropout=self.dropout, with_attn=with_attn,
                     resname=self.resname, use_pallas=self.use_pallas,
-                    name=name)(x, t, guide, deterministic=deterministic)
+                    name=name)(x, t, guide, deterministic)
             else:
                 x = Downsample(dim_out, name=name)(x)
             feats.append(x)
 
-        x = ResnetBlocWithAttn(mid_channel, mid_channel, nl_emb_dim=nlc,
-                               norm_groups=self.norm_groups, dropout=self.dropout,
-                               with_attn=True, resname=self.resname,
-                               use_pallas=self.use_pallas,
-                               name='mid_0')(x, t, guide, deterministic=deterministic)
-        x = ResnetBlocWithAttn(mid_channel, mid_channel, nl_emb_dim=nlc,
-                               norm_groups=self.norm_groups, dropout=self.dropout,
-                               with_attn=False, resname=self.resname,
-                               use_pallas=self.use_pallas,
-                               name='mid_1')(x, t, guide, deterministic=deterministic)
+        x = block_cls(mid_channel, mid_channel, nl_emb_dim=nlc,
+                      norm_groups=self.norm_groups, dropout=self.dropout,
+                      with_attn=True, resname=self.resname,
+                      use_pallas=self.use_pallas,
+                      name='mid_0')(x, t, guide, deterministic)
+        x = block_cls(mid_channel, mid_channel, nl_emb_dim=nlc,
+                      norm_groups=self.norm_groups, dropout=self.dropout,
+                      with_attn=False, resname=self.resname,
+                      use_pallas=self.use_pallas,
+                      name='mid_1')(x, t, guide, deterministic)
 
         for i, (kind, dim, dim_out, with_attn) in enumerate(ups):
             name = f'ups_{i}'
             if kind == 'block':
-                x = ResnetBlocWithAttn(
+                x = block_cls(
                     dim, dim_out, nl_emb_dim=nlc, norm_groups=self.norm_groups,
                     dropout=self.dropout, with_attn=with_attn,
                     resname=self.resname, use_pallas=self.use_pallas,
                     name=name)(jnp.concatenate([x, feats.pop()], axis=-1), t,
-                               guide, deterministic=deterministic)
+                               guide, deterministic)
             else:
                 x = Upsample(dim_out, name=name)(x)
 

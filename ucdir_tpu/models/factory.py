@@ -13,7 +13,8 @@ from ucdir_tpu.models.dy3h import DY3h
 UNETS = {'DY3h': DY3h}
 
 
-def define_G(opt: Dict[str, Any], use_pallas: bool = False):
+def define_G(opt: Dict[str, Any], use_pallas: bool = False,
+             remat: bool = False):
     """Build the diffusion module from a parsed config (opt['model'])."""
     # deferred: diffusion.base imports models.seeindark (circular otherwise)
     from ucdir_tpu.diffusion.base import DIFFUSIONS
@@ -26,7 +27,7 @@ def define_G(opt: Dict[str, Any], use_pallas: bool = False):
     unet_cfg['attn_res'] = tuple(unet_cfg.get('attn_res') or (8,))
     unet_cfg.setdefault('image_size', model_opt['diffusion']['image_size'])
     unet_cls = UNETS[model_opt.get('unet_name', 'DY3h')]
-    unet = unet_cls(use_pallas=use_pallas,
+    unet = unet_cls(use_pallas=use_pallas, remat=remat,
                     **{k: v for k, v in unet_cfg.items() if v is not None})
 
     diff_cfg = dict(model_opt['diffusion'])

@@ -24,12 +24,16 @@ from ucdir_tpu.train.state import TrainState
 
 
 def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, compute_dtype=None) -> Callable:
     """Returns train_step(state, batch, key) -> (state, metrics).
 
     batch: {'HR': (B,H,W,C), 'SR': (B,H,W,C)} — global batch; when a mesh is
     given, inputs are sharded batch-major over the 'data' axis and params are
     replicated, so jit inserts the gradient psum over ICI.
+
+    compute_dtype (e.g. jnp.bfloat16): mixed precision — master params,
+    optimizer state and the loss stay f32; forward/backward run in the compute
+    dtype (gradients flow through the cast back to the f32 masters).
     """
 
     def train_step(state: TrainState, batch, key):
@@ -39,10 +43,21 @@ def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
         noise = jax.random.normal(k_noise, batch['HR'].shape,
                                   dtype=batch['HR'].dtype)
 
+        if compute_dtype is not None:
+            net_batch = {k: v.astype(compute_dtype) for k, v in batch.items()}
+            net_gammas = gammas.astype(compute_dtype)
+            net_noise = noise.astype(compute_dtype)
+        else:
+            net_batch, net_gammas, net_noise = batch, gammas, noise
+
         def loss_fn(params):
-            l = module.apply({'params': params}, batch, gammas, noise,
-                             deterministic=False, rngs={'dropout': k_drop})
-            return l / (b * c * h * w)
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype), params)
+            l = module.apply({'params': params}, net_batch, net_gammas,
+                             net_noise, deterministic=False,
+                             rngs={'dropout': k_drop})
+            return l.astype(jnp.float32) / (b * c * h * w)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads)

@@ -35,7 +35,9 @@ class Trainer:
 
     def __init__(self, opt, use_pallas: bool = False, seed: int = 0):
         self.opt = opt
-        self.module = define_G(opt, use_pallas=use_pallas)
+        # remat is free in forward-only use and necessary for training memory
+        self.module = define_G(opt, use_pallas=use_pallas,
+                               remat=(opt['phase'] == 'train'))
         self.schedules = {
             phase: make_schedule(opt['model']['beta_schedule'][phase])
             for phase in ('train', 'val')
@@ -65,8 +67,11 @@ class Trainer:
                                 clip_norm=opt.get('clip_norm'))
             self.state = create_train_state(params, tx,
                                             opt['train']['ema_scheduler'])
+            train_dtype = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
+                opt.get('compute_dtype') or '')
             self._train_step = make_train_step(
-                self.module, self.schedules['train'], mesh=self.mesh)
+                self.module, self.schedules['train'], mesh=self.mesh,
+                compute_dtype=train_dtype)
             self.eval_params = None  # live params used for in-train val
         else:
             self.state = None

@@ -224,3 +224,47 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     import torch
     sd = torch.load(path, map_location='cpu', weights_only=True)
     return convert_state_dict(sd)
+
+
+def main():
+    """CLI: convert a released reference checkpoint prefix to an orbax dir.
+
+        python -m ucdir_tpu.utils.convert_torch <prefix> <out_dir>
+
+    <prefix> is reference-style (e.g. experiments/sid/checkpoint/I_Elatest) —
+    both `_gen.pth` and `_gen_ema.pth` are converted when present.
+    """
+    import argparse
+    import os
+
+    import numpy as np
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument('prefix', help='reference checkpoint prefix '
+                        '(appends _gen.pth / _gen_ema.pth)')
+    parser.add_argument('out', help='output orbax checkpoint directory')
+    args = parser.parse_args()
+
+    import orbax.checkpoint as ocp
+
+    payload = {}
+    gen = args.prefix + '_gen.pth'
+    ema = args.prefix + '_gen_ema.pth'
+    if os.path.exists(gen):
+        payload['params'] = load_torch_checkpoint(gen)
+        print('converted', gen)
+    if os.path.exists(ema):
+        payload['ema_params'] = load_torch_checkpoint(ema)
+        print('converted', ema)
+    if not payload:
+        raise SystemExit('no %s / %s found' % (gen, ema))
+    payload.setdefault('params', payload.get('ema_params'))
+    payload.setdefault('ema_params', payload.get('params'))
+    payload['step'] = np.asarray(0)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(args.out), payload, force=True)
+    print('wrote', args.out)
+
+
+if __name__ == '__main__':
+    main()
