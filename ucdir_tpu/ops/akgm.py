@@ -105,11 +105,13 @@ _PALLAS_WEIGHT_BUDGET_BYTES = 12 * 1024 * 1024
 def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
              split_channels: int = 256):
     """Dispatch on measured TPU costs:
-      * C >= split_channels (deep scales): G small convs;
+      * bf16, C >= split_channels (deep scales): G small convs;
       * otherwise densified dense conv (XLA) or the fused Pallas kernel when
-        `use_pallas` and the resident weights fit VMEM."""
+        `use_pallas` and the resident weights fit VMEM.
+    (fp32 full-model runs measured FASTER with densified everywhere, despite
+    isolated per-op numbers favoring small convs — in-model fusion effects.)"""
     C = h.shape[-1]
-    if C >= split_channels:
+    if C >= split_channels and h.dtype == jnp.bfloat16:
         return akgm_mix_smallconvs(h, att_sp, kernel, bias, nset)
     kd_bytes = 9 * C * C * nset * h.dtype.itemsize
     if use_pallas and kd_bytes <= _PALLAS_WEIGHT_BUDGET_BYTES:
