@@ -112,3 +112,35 @@ def test_optimizers_run(kind):
              'SR': jnp.zeros((2, 16, 16, 3))}
     state, m = step(state, batch, KEY)
     assert np.isfinite(float(m['l_pix']))
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    """orbax save/restore preserves params, EMA, optimizer state and step
+    (reference resume semantics: model.py:252-259)."""
+    from ucdir_tpu.utils.checkpoint import save_state, restore_state
+    module = tiny_module()
+    state = make_state(module)
+    step = make_train_step(module, SCHED, donate=False)
+    batch = {'HR': jnp.ones((2, 16, 16, 3)) * 0.3,
+             'SR': jnp.zeros((2, 16, 16, 3))}
+    key = KEY
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, _ = step(state, batch, k)
+    save_state(str(tmp_path), 'latest', state)
+
+    fresh = make_state(module)
+    restored = restore_state(str(tmp_path), fresh, tag='latest')
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues identically from the restored state
+    key2, k = jax.random.split(key)
+    s1, m1 = step(state, batch, k)
+    s2, m2 = step(restored, batch, k)
+    np.testing.assert_allclose(float(m1['l_pix']), float(m2['l_pix']),
+                               rtol=1e-6)
