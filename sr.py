@@ -113,6 +113,10 @@ def main():
                         help="fused Pallas AKGM kernels (helps fp32; bf16 is faster via the XLA dispatch)")
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
+    parser.add_argument('--bucket', type=int, default=0,
+                        help='pad val inputs to multiples of N (avoids '
+                             'per-shape sampler recompiles on variable-size '
+                             'datasets; 0 = exact shapes)')
     parser.add_argument('--val_patch', action='store_true',
                         help='outer-loop tiled sampling alt driver')
     parser.add_argument('--search_params', action='store_true',
@@ -139,6 +143,7 @@ def main():
     opt['sampler'] = args.sampler
     opt['sampling_timesteps'] = args.sampling_timesteps
     opt['compute_dtype'] = args.compute_dtype
+    opt['bucket'] = args.bucket
 
     setup_logger('base', opt['path']['log'], 'train', level=logging.INFO,
                  screen=True, process_index=rank)

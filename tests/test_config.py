@@ -47,3 +47,17 @@ def test_debug_mode_shrinks():
 def test_dict2str_roundtrip():
     s = dict2str({'a': 1, 'b': {'c': 2}})
     assert 'a: 1' in s and 'c: 2' in s
+
+
+def test_val_parse_gop_and_jpg_branches(tmp_path):
+    import yaml
+    for name, needs in (('gop-deblur', {}), ('jpg-restore', {})):
+        src = os.path.join(os.path.dirname(__file__), '..', 'ucdir_tpu',
+                           'configs', f'{name}.yaml')
+        opt = parse(src, phase='val', checkpoint='ck', num_processes=1,
+                    make_dirs=False)
+        assert opt['model']['beta_schedule']['val']['n_timestep'] == 50
+        assert opt['model']['beta_schedule']['val']['linear_end'] == pytest.approx(0.4)
+        if name == 'jpg-restore':
+            assert opt['datasets']['val']['data_args']['factor'] == [10, 10]
+            assert opt['datasets']['val']['data_args']['crop_size'] == -1

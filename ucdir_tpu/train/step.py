@@ -79,15 +79,20 @@ def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
 def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                    continous: bool = False, sampler: str = 'ddpm',
                    sampling_timesteps: int = 5, eta: float = 1.0,
-                   compute_dtype=None) -> Callable:
+                   compute_dtype=None, bucket: int = 0) -> Callable:
     """Returns eval_step(variables, sr_img, key) -> (sr, initx[, snaps]).
 
     Reproduces DDPM.test (model.py:124-138): reflect-pad the degraded input by
     `pad`, run super_resolution, crop. Everything in one jit; re-compiles per
-    distinct input shape (pad/bucket shapes upstream for a static set).
+    distinct input shape.
+
+    bucket > 0: additionally reflect-pad H/W up to multiples of `bucket`
+    before the 64-px pad, so variable-size datasets (e.g. the imagenet JPEG
+    task) reuse a small set of compiled programs instead of recompiling the
+    whole sampling scan per image. Slight border deviation vs the reference
+    (extra reflected context), interior unchanged.
     """
 
-    @functools.partial(jax.jit, static_argnames=())
     def eval_step(variables, sr_img, key):
         x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                     mode='reflect') if pad else sr_img
@@ -100,4 +105,20 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                         else o for o in out)
         return out
 
-    return eval_step
+    jitted = jax.jit(eval_step)
+
+    if not bucket:
+        return jitted
+
+    def bucketed(variables, sr_img, key):
+        h, w = sr_img.shape[1], sr_img.shape[2]
+        bh, bw = (-h) % bucket, (-w) % bucket
+        x = jnp.pad(sr_img, ((0, 0), (0, bh), (0, bw), (0, 0)),
+                    mode='reflect') if (bh or bw) else sr_img
+        out = jitted(variables, x, key)
+        if bh or bw:
+            out = tuple(o[..., :o.shape[-3] - bh, :o.shape[-2] - bw, :]
+                        if o is not None and o.ndim >= 4 else o for o in out)
+        return out
+
+    return bucketed

@@ -133,7 +133,8 @@ class Trainer:
             self._eval_fns[key] = make_eval_step(
                 self.module, sched, pad=64, continous=continous,
                 sampler=sampler, sampling_timesteps=steps,
-                compute_dtype=dtype)
+                compute_dtype=dtype,
+                bucket=int(self.opt.get('bucket') or 0))
         return self._eval_fns[key]
 
     def _current_eval_params(self):
