@@ -81,14 +81,7 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
 
 def inception_features(images, weights: Optional[str] = None,
                        batch_size: int = 64) -> np.ndarray:
-    """InceptionV3 pool3 features; requires converted pretrained weights."""
-    weights = weights or os.environ.get('UCDIR_TPU_INCEPTION_NPZ')
-    if not weights or not os.path.exists(weights):
-        raise RuntimeError(
-            'InceptionV3 weights unavailable: FID/KID feature extraction needs '
-            'a converted weights file (set UCDIR_TPU_INCEPTION_NPZ). The '
-            'Frechet/MMD math (fid_from_features/kid_from_features) works on '
-            'any externally-computed features.')
-    raise NotImplementedError(
-        'InceptionV3-JAX port pending; pass features from your own extractor '
-        'to fid_from_features / kid_from_features.')
+    """InceptionV3 pool3 features (JAX port in ucdir_tpu.metrics.inception);
+    requires pretrained weights (UCDIR_TPU_INCEPTION_NPZ or a .pth path)."""
+    from ucdir_tpu.metrics.inception import make_feature_fn
+    return make_feature_fn(weights, batch_size)(images)
