@@ -134,3 +134,26 @@ def test_eval1_cli(img_dirs, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert 'PSNR' in out and 'SSIM' in out and 'niqe' in out
     assert 'LPIPS skipped' in out and 'FID/KID skipped' in out
+
+
+def test_lrhr_triplet_dataset(tmp_path):
+    """sr_N_M / hr_M / lr_N triplet layout (LRHR_dataset.py:133-227)."""
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / 'trip')
+    for sub, size in (('lr_16', 16), ('hr_32', 32), ('sr_16_32', 32)):
+        os.makedirs(os.path.join(root, sub))
+        for i in range(2):
+            arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(root, sub, f'{i}.png'))
+    ds = LRHRDataset(root, l_resolution=16, r_resolution=32, split='val',
+                     need_LR=True)
+    item = ds[0]
+    assert item['HR'].shape == (32, 32, 3)
+    assert item['SR'].shape == (32, 32, 3)
+    assert item['LR'].shape == (16, 16, 3)
+    # factory fallback path (no datasetname -> LRHRDataset)
+    opt = {'name': 'x', 'dataroot': root, 'datatype': 'img',
+           'l_resolution': 16, 'r_resolution': 32, 'data_len': -1,
+           'mode': 'LRHR'}
+    ds2 = create_dataset(opt, 'val')
+    assert len(ds2) == 2

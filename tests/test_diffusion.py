@@ -139,3 +139,52 @@ def test_bf16_sampling_close_to_fp32():
     b = np.asarray(f16(variables, x_in['SR'], KEY))
     assert b.dtype == np.float32  # posterior math stays f32
     assert np.mean(np.abs(a - b)) < 0.05
+
+
+@pytest.mark.parametrize('name', ['GaussianDiffusion', 'ResiGaussianDiffusion',
+                                  'ResiGaussianGuideDY_de',
+                                  'ResiPercepGaussianDiffusion'])
+def test_all_variant_losses_run(name):
+    from ucdir_tpu.diffusion import DIFFUSIONS
+    module = tiny_module(DIFFUSIONS[name])
+    variables, _ = init_vars(module)
+    x_in = {'HR': jnp.ones((2, 32, 32, 3)) * 0.2,
+            'SR': jnp.zeros((2, 32, 32, 3))}
+    sched = make_schedule(VAL_SCHED)
+    g = sample_continuous_gamma(KEY, sched, 2)
+    noise = jax.random.normal(KEY, (2, 32, 32, 3))
+    loss = jax.jit(lambda v: module.apply(v, x_in, g, noise,
+                                          deterministic=True))(variables)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_nodiffusion_refine():
+    from ucdir_tpu.diffusion import DIFFUSIONS
+    # NoDiffusion feeds the 3-channel predictor output straight to the
+    # denoiser (diffusion.py:633-662) -> in_channel 3
+    unet = DY3h(in_channel=3, out_channel=3, inner_channel=8,
+                channel_mults=(1, 2), attn_res=(), res_blocks=1,
+                dropout=0.0, norm_groups=1, image_size=32)
+    module = DIFFUSIONS['NoDiffusion'](denoise_fn=unet, image_size=32,
+                                       channels=3)
+    x_in = {'HR': jnp.ones((1, 32, 32, 3)) * 0.2,
+            'SR': jnp.zeros((1, 32, 32, 3))}
+    g = jnp.full((1, 1), 1.0)
+    variables = jax.jit(module.init)({'params': KEY, 'dropout': KEY},
+                                     x_in, g, jnp.zeros((1, 32, 32, 3)))
+    loss = jax.jit(lambda v: module.apply(v, x_in, g,
+                                          jnp.zeros((1, 32, 32, 3)),
+                                          deterministic=True))(variables)
+    assert np.isfinite(float(loss))
+    out = jax.jit(lambda v: module.apply(v, x_in['SR'], g,
+                                         method='refine'))(variables)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_perceptual_variant_gated():
+    # without an LPIPS callable the perceptual variant must fail loudly —
+    # already at init, which traces p_losses
+    from ucdir_tpu.diffusion import DIFFUSIONS
+    module = tiny_module(DIFFUSIONS['PerceptualGaussianDiffusion'])
+    with pytest.raises(ValueError, match='perceptual_fn'):
+        init_vars(module)
