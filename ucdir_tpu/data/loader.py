@@ -12,10 +12,8 @@ loop (`jax.device_put` against the data mesh).
 from __future__ import annotations
 
 import logging
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator
 
 import numpy as np
 
