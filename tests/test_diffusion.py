@@ -188,3 +188,24 @@ def test_perceptual_variant_gated():
     module = tiny_module(DIFFUSIONS['PerceptualGaussianDiffusion'])
     with pytest.raises(ValueError, match='perceptual_fn'):
         init_vars(module)
+
+
+def test_unconditional_sample():
+    from ucdir_tpu.diffusion import DIFFUSIONS, unconditional_sample
+    # unconditional: denoiser input is just the noisy image (3 channels),
+    # plain ResnetBlock resname (no guide)
+    unet = DY3h(in_channel=3, out_channel=3, inner_channel=8,
+                channel_mults=(1, 2), attn_res=(), res_blocks=1,
+                dropout=0.0, norm_groups=8, image_size=32,
+                resname='ResnetBlock')
+    module = DIFFUSIONS['GaussianDiffusion'](denoise_fn=unet, image_size=32,
+                                             channels=3, conditional=False)
+    x_in = {'HR': jnp.zeros((1, 32, 32, 3)), 'SR': jnp.zeros((1, 32, 32, 3))}
+    variables = jax.jit(module.init)(
+        {'params': KEY, 'dropout': KEY}, x_in, jnp.ones((1, 1)) * 0.5,
+        jnp.zeros((1, 32, 32, 3)))
+    sched = make_schedule(VAL_SCHED)
+    out = jax.jit(lambda v, k: unconditional_sample(
+        module, v, sched, (1, 32, 32, 3), k))(variables, KEY)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

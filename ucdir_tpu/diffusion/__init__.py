@@ -20,4 +20,5 @@ from ucdir_tpu.diffusion.base import (GaussianDiffusion,
                                       NoDiffusion,
                                       DIFFUSIONS)
 from ucdir_tpu.diffusion.sampler import (p_sample_loop, ddim_sample,
-                                         super_resolution, sample_continuous_gamma)
+                                         super_resolution, unconditional_sample,
+                                         sample_continuous_gamma)

@@ -124,6 +124,20 @@ def ddim_sample(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
     return img
 
 
+def unconditional_sample(module, variables, sched: NoiseSchedule, shape,
+                         key: jax.Array, continous: bool = False):
+    """Unconditional generation (reference GaussianDiffusion.sample /
+    DDPM.sample, diffusion.py:296-300 + model.py:140-147): the denoiser sees
+    only the noisy image (conditional=False configs, e.g. SingleDataset)."""
+    dummy = jnp.zeros(shape, jnp.float32)
+
+    def denoise(img, noise_level):
+        return module.apply(variables, img, noise_level, None,
+                            method='denoise')
+
+    return p_sample_loop(denoise, dummy, sched, key, continous=continous)
+
+
 def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
                      key: jax.Array, continous: bool = False,
                      sampler: str = 'ddpm', sampling_timesteps: int = 5,

@@ -160,6 +160,19 @@ class Trainer:
             self.SR_final = self.SR
         self.pre_initx = np.asarray(initx) if initx is not None else None
 
+    def sample(self, batch_size: int = 1, continous: bool = False):
+        """Unconditional generation (reference DDPM.sample, model.py:140-147)."""
+        from ucdir_tpu.diffusion.sampler import unconditional_sample
+        size = int(self.opt['model']['diffusion'].get('image_size', 128))
+        ch = int(self.opt['model']['diffusion'].get('channels', 3))
+        sched = self.schedules[self.schedule_phase]
+        self.key, k = jax.random.split(self.key)
+        out = jax.jit(lambda v, k: unconditional_sample(
+            self.module, v, sched, (batch_size, size, size, ch), k,
+            continous=continous))({'params': self._current_eval_params()}, k)
+        self.SR = np.asarray(out[1] if continous else out)
+        return self.SR
+
     def get_current_log(self):
         return self.log_dict
 
