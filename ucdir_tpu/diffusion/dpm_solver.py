@@ -60,10 +60,11 @@ def dpm_solver_pp_sample(denoise: Callable, x_cond: jax.Array,
         lam, lam_next = lambdas[t], lambdas[t_next]
         h = lam_next - lam
 
-        # second-order multistep correction (falls back to first order on the
-        # first step, where h_prev == 0)
+        # second-order multistep correction; first order on the first step
+        # (no history) and the final step (lower_order_final, the reference
+        # dpm_solver default — stabilizes aggressive schedules)
         r = jnp.where(h_prev != 0, h_prev / h, 1.0)
-        use2 = (i > 0)
+        use2 = jnp.logical_and(i > 0, i < steps - 1)
         D = jnp.where(use2,
                       (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * x0_prev,
                       x0)
