@@ -24,7 +24,10 @@ v = jax.tree_util.tree_map(lambda a: jax.random.normal(key, a.shape, dt) * 0.05,
 starts = compute_tile_starts(H + 2 * 64, W + 2 * 64, 1024, 64)
 print('tiles:', len(starts), starts, flush=True)
 
-denoise = tiled_denoise_fn(m, v['params'], x_cond, guide, skip=1024, padding=64)
+import sys as _sys
+_tc = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1
+denoise = tiled_denoise_fn(m, v['params'], x_cond, guide, skip=1024, padding=64,
+                           tile_chunk=_tc)
 f = jax.jit(denoise)
 t0 = time.perf_counter()
 out = f(img, nl)
