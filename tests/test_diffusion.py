@@ -85,10 +85,60 @@ def test_super_resolution_continuous_snapshots():
     f = jax.jit(lambda v, x, k: super_resolution(module, v, sched, x, k,
                                                  continous=True))
     sr, initx, snaps = f(variables, x_in['SR'], KEY)
-    assert snaps.shape == (10, 2, 32, 32, 3)
+    # T=10 -> sample_inter = 1|(10//10) = 1 -> one snapshot per step, plus the
+    # prepended x_in frame (reference ret_img starts as x, diffusion.py:199)
+    assert snaps.shape == (11, 2, 32, 32, 3)
+    # frame 0 = x_in + initx (the reference adds initx to all of ret_img)
+    np.testing.assert_allclose(np.asarray(snaps[0]),
+                               np.asarray(x_in['SR'] + initx),
+                               rtol=1e-5, atol=1e-5)
     # last snapshot equals the final (both already include +initx)
     np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(sr),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_snapshot_cadence_matches_reference_loop():
+    """Frame-identical to the torch loop's snapshot schedule
+    (diffusion.py:188-211): ret_img = [x_in] + img at every i%(1|(T//10))==0,
+    i descending — verified by replaying the scan's RNG in a python loop."""
+    from ucdir_tpu.diffusion.sampler import p_sample_loop
+    sched = make_schedule(dict(schedule='linear', n_timestep=50,
+                               linear_start=1e-6, linear_end=0.4))
+    x_cond = jnp.linspace(-1, 1, 1 * 8 * 8 * 3).reshape(1, 8, 8, 3)
+
+    def denoise(img, nl):
+        return 0.1 * img + nl.reshape(-1, 1, 1, 1) * 0.01
+
+    final, snaps = jax.jit(lambda k: p_sample_loop(
+        denoise, x_cond, sched, k, continous=True))(KEY)
+
+    # python replay with the reference's snapshot bookkeeping
+    T = 50
+    sample_inter = 1 | (T // 10)
+    key, k0 = jax.random.split(KEY)
+    img = jax.random.normal(k0, x_cond.shape, x_cond.dtype)
+    ret = [np.asarray(x_cond)]
+    for t in range(T - 1, -1, -1):
+        key, k = jax.random.split(key)
+        eps = denoise(img, jnp.full((1, 1), 0.) +
+                      sched.sqrt_alphas_cumprod_prev[t + 1])
+        x0 = jnp.clip(sched.sqrt_recip_alphas_cumprod[t] * img
+                      - sched.sqrt_recipm1_alphas_cumprod[t] * eps, -1, 1)
+        mean = (sched.posterior_mean_coef1[t] * x0
+                + sched.posterior_mean_coef2[t] * img)
+        noise = jax.random.normal(k, img.shape, img.dtype)
+        if t == 0:
+            noise = jnp.zeros_like(noise)
+        img = mean + noise * jnp.exp(
+            0.5 * sched.posterior_log_variance_clipped[t])
+        if t % sample_inter == 0:
+            ret.append(np.asarray(img))
+
+    assert snaps.shape[0] == len(ret) == 11
+    np.testing.assert_allclose(np.asarray(snaps), np.stack(ret),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(final), ret[-1],
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_ddim_sampler_runs():
@@ -179,6 +229,36 @@ def test_nodiffusion_refine():
     out = jax.jit(lambda v: module.apply(v, x_in['SR'], g,
                                          method='refine'))(variables)
     assert out.shape == (1, 32, 32, 3)
+
+    # super_resolution must route through refine (diffusion.py:650-662):
+    # one pass at the fixed noise level sqrt_alphas_cumprod_prev[1], no
+    # reverse loop, and NO +initx residual add.
+    sched = make_schedule(VAL_SCHED)
+    sr, initx = jax.jit(lambda v, x, k: super_resolution(
+        module, v, sched, x, k))(variables, x_in['SR'], KEY)
+    expect = module.apply(variables, x_in['SR'],
+                          jnp.full((1, 1), sched.sqrt_alphas_cumprod_prev[1]),
+                          method='refine')
+    np.testing.assert_allclose(np.asarray(sr), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+    # the train step must feed the constant gamma, not random ones
+    # (diffusion.py:638-644)
+    from ucdir_tpu.train import make_train_step, make_optimizer, create_train_state
+    state = create_train_state(variables['params'], make_optimizer(
+        {'type': 'adam', 'lr': 1e-4}), None)
+    step = make_train_step(module, sched, donate=False)
+    _, m1 = step(state, x_in, jax.random.PRNGKey(1))
+    g_fix = jnp.full((1, 1), sched.sqrt_alphas_cumprod_prev[1])
+    k_g, k_n, _ = jax.random.split(jax.random.PRNGKey(1), 3)
+    noise = jax.random.normal(k_n, x_in['HR'].shape, x_in['HR'].dtype)
+    b, h, w, c = x_in['HR'].shape
+    expect_loss = module.apply(variables, x_in, g_fix, noise,
+                               deterministic=False,
+                               rngs={'dropout': jax.random.split(
+                                   jax.random.PRNGKey(1), 3)[2]}) / (b * c * h * w)
+    np.testing.assert_allclose(float(m1['l_pix']), float(expect_loss),
+                               rtol=1e-5)
 
 
 def test_perceptual_variant_gated():

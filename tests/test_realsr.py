@@ -101,3 +101,38 @@ def test_realsr_feed_and_train_step(imagenet_fixture, tmp_path):
     # second feed exercises the queue path
     trainer.feed_data(batch)
     assert trainer.data['SR'].shape == (2, 32, 32, 3)
+
+
+@pytest.mark.parametrize('mode', ['area', 'bilinear', 'bicubic'])
+@pytest.mark.parametrize('scale', [0.37, 0.5, 1.5])
+def test_interpolate_matches_torch(mode, scale, rng):
+    """Exact parity with torch F.interpolate defaults (antialias=False;
+    'area' = adaptive average pooling) — the degradation distribution the
+    model learns to invert must match the reference's (ADVICE r1)."""
+    import torch
+    import torch.nn.functional as F
+    from ucdir_tpu.data.degradations import interpolate
+
+    x = rng.standard_normal((2, 17, 23, 3)).astype(np.float32)
+    ours = np.asarray(interpolate(jnp.asarray(x), scale_factor=scale,
+                                  mode=mode))
+    theirs = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                           scale_factor=scale, mode=mode)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate_size_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    from ucdir_tpu.data.degradations import interpolate
+
+    x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    for mode, size in [('bicubic', (21, 45)), ('bilinear', (9, 9)),
+                       ('area', (13, 29))]:
+        ours = np.asarray(interpolate(jnp.asarray(x), size=size, mode=mode))
+        theirs = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                               size=size, mode=mode)
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

@@ -146,6 +146,51 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def test_train_rng_identical_across_processes():
+    """Multi-host SPMD contract (VERDICT r1 item 4): the jitted global-batch
+    train step must receive an IDENTICAL key on every process — per-process
+    keys inside the replicated step silently diverge params across hosts.
+    Simulate two hosts by patching jax.process_index at Trainer construction
+    and assert one optimizer step on identical data yields identical params."""
+    from unittest import mock
+    from ucdir_tpu.trainer import Trainer
+
+    opt = {
+        'phase': 'train', 'name': 'rngtest',
+        'path': {'checkpoint': '/tmp/rngtest', 'resume_state': None},
+        'datasets': {'train': {'batch_size': 2}},
+        'model': {
+            'which_model_G': 'ucdir', 'unet_name': 'DY3h',
+            'diffusion_name': 'ResiGaussianGuideDY',
+            'unet': {'in_channel': 6, 'out_channel': 3, 'inner_channel': 8,
+                     'channel_mults': [1, 2], 'attn_res': [],
+                     'res_blocks': 1, 'dropout': 0.0, 'norm_groups': 1},
+            'beta_schedule': {
+                'train': {'schedule': 'linear', 'n_timestep': 10,
+                          'linear_start': 1e-6, 'linear_end': 1e-2},
+                'val': {'schedule': 'linear', 'n_timestep': 5,
+                        'linear_start': 1e-6, 'linear_end': 0.4}},
+            'diffusion': {'image_size': 32, 'channels': 3,
+                          'conditional': True}},
+        'train': {'optimizer': {'type': 'adamw', 'lr': 1e-3},
+                  'ema_scheduler': None},
+    }
+    data = {'HR': np.full((2, 32, 32, 3), 0.3, np.float32),
+            'SR': np.zeros((2, 32, 32, 3), np.float32)}
+
+    results = []
+    for pid in (0, 3):
+        with mock.patch('jax.process_index', return_value=pid):
+            tr = Trainer(opt, seed=0)
+            tr.feed_data(data)
+            tr.optimize_parameters()
+            results.append((tr.log_dict['l_pix'],
+                            jax.tree_util.tree_leaves(tr.state.params)))
+    assert results[0][0] == results[1][0]
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bucketed_eval_step():
     """bucketed sampler: odd-size input handled, interior matches exact-shape
     eval away from the padded border."""

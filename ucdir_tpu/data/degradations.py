@@ -26,6 +26,7 @@ import random
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from scipy import special
 
@@ -435,17 +436,65 @@ def random_add_poisson_noise_pt(key, img, scale_range=(0, 1.0), gray_prob=0,
     return _apply_clip_rounds(img + noise * scale, clip, rounds, xp=jnp)
 
 
+def _resize_weights(n_in: int, n_out: int, mode: str,
+                    scale: Optional[float] = None) -> np.ndarray:
+    """(n_out, n_in) separable resize matrix matching torch F.interpolate
+    semantics exactly: bilinear/bicubic with antialias=False (the torch
+    default) and align_corners=False source mapping src=(i+0.5)*s-0.5 with
+    edge-clamped taps; 'area' = adaptive average pooling (uniform box over
+    [floor(i*s), ceil((i+1)*s))). The degradation pipeline must reproduce the
+    torch distribution (ADVICE r1: antialiased resizes produced cleaner LQ
+    images than the reference trains on)."""
+    W = np.zeros((n_out, n_in), np.float32)
+    if mode == 'area':
+        s = n_in / n_out
+        for i in range(n_out):
+            lo = int(np.floor(i * s))
+            hi = max(int(np.ceil((i + 1) * s)), lo + 1)
+            W[i, lo:hi] = 1.0 / (hi - lo)
+        return W
+    # torch keeps the caller's scale_factor for coordinate mapping when one
+    # was given (recompute_scale_factor=None default), n_in/n_out otherwise
+    s = n_in / n_out if scale is None else 1.0 / scale
+    src = (np.arange(n_out) + 0.5) * s - 0.5
+    if mode == 'bilinear':
+        # non-cubic kernels clamp negative source coords to 0
+        # (aten area_pixel_compute_source_index)
+        src = np.maximum(src, 0.)
+    j0 = np.floor(src).astype(np.int64)
+    frac = src - j0
+    if mode == 'bilinear':
+        taps = [(0, 1 - frac), (1, frac)]
+    elif mode == 'bicubic':
+        a = -0.75  # torch's cubic convolution coefficient
+
+        def cub(d):
+            d = np.abs(d)
+            return np.where(
+                d <= 1, ((a + 2) * d - (a + 3)) * d * d + 1,
+                np.where(d < 2, a * (((d - 5) * d + 8) * d - 4), 0.))
+        taps = [(k, cub(frac - k)) for k in (-1, 0, 1, 2)]
+    else:
+        raise NotImplementedError(mode)
+    for k, wk in taps:
+        idx = np.clip(j0 + k, 0, n_in - 1)
+        np.add.at(W, (np.arange(n_out), idx), wk.astype(np.float32))
+    return W
+
+
 def interpolate(img, scale_factor=None, size=None, mode='bilinear'):
-    """torch F.interpolate equivalent on NHWC (modes: area/bilinear/bicubic;
-    align_corners=False semantics)."""
-    import jax
+    """torch F.interpolate equivalent on NHWC (modes: area/bilinear/bicubic,
+    antialias=False / adaptive-avg-pool semantics, exact weight parity).
+    Implemented as two static weight-matrix contractions — MXU-friendly and
+    shape-static under jit."""
     b, h, w, c = img.shape
     if size is None:
         oh, ow = int(h * scale_factor), int(w * scale_factor)
     else:
         oh, ow = size
-    method = {'area': 'linear', 'bilinear': 'linear',
-              'bicubic': 'cubic'}[mode]
-    antialias = (mode == 'area') or (oh < h)
-    return jax.image.resize(img, (b, oh, ow, c), method=method,
-                            antialias=antialias)
+    if (oh, ow) == (h, w) and mode != 'area':
+        return img
+    Wh = jnp.asarray(_resize_weights(h, oh, mode, scale_factor))
+    Ww = jnp.asarray(_resize_weights(w, ow, mode, scale_factor))
+    out = jnp.einsum('oh,bhwc->bowc', Wh, img)
+    return jnp.einsum('pw,bowc->bopc', Ww, out)

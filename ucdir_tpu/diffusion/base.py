@@ -54,6 +54,7 @@ class GaussianDiffusion(nn.Module):
     has_predictor: bool = False
     guide_in_train: Optional[str] = None   # None | 'initx' | 'degraded'
     guide_in_sample: Optional[str] = None
+    sample_mode: str = 'reverse'           # 'reverse' | 'refine' (NoDiffusion)
 
     def setup(self):
         if self.has_predictor:
@@ -167,9 +168,12 @@ class ResiPercepGaussianDiffusion(ResiGaussianDiffusion):
 
 class NoDiffusion(GaussianDiffusion):
     """Ablation: predictor output refined once, regression loss
-    (diffusion.py:625-662). gammas is ignored; the fixed noise level
-    sqrt_alphas_cumprod_prev[1] is supplied by the caller."""
+    (diffusion.py:625-662). gammas must be the fixed noise level
+    sqrt_alphas_cumprod_prev[1] — the train step (train/step.py) feeds that
+    constant instead of random continuous gammas, and sampling routes through
+    `refine` (sampler.py super_resolution), matching diffusion.py:638-662."""
     has_predictor: bool = True
+    sample_mode: str = 'refine'
 
     def p_losses(self, x_in, gammas, noise, deterministic: bool = False):
         x_init = self.predictor(x_in['SR'])

@@ -39,9 +39,28 @@ def sample_continuous_gamma(key: jax.Array, sched: NoiseSchedule, batch: int):
     return lo + u * (hi - lo)
 
 
+def _snapshot_slots(T: int):
+    """Static per-step snapshot slot index for the reference's cadence.
+
+    The reference keeps a snapshot every `1 | (T // 10)` steps
+    (diffusion.py:188-207: `if i % sample_inter == 0`), i counting down from
+    T-1. Every scan step writes its img into slot = number of snapshot steps
+    strictly before it; the snapshot step is the LAST writer of its slot, so
+    the buffer ends up holding exactly the reference's snapshots — without
+    holding all T frames on device (VERDICT r1 item 2: ~1.8 GB at SID size).
+    """
+    sample_inter = 1 | (T // 10)
+    slots, n = [], 0
+    for t in range(T - 1, -1, -1):
+        slots.append(n)
+        if t % sample_inter == 0:
+            n += 1
+    return np.asarray(slots, np.int32), n
+
+
 def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
                   key: jax.Array, clip_denoised: bool = True,
-                  continous: bool = False):
+                  continous: bool = False, conditional: bool = True):
     """Ancestral reverse loop.
 
     denoise: fn(img_or_cat, noise_level (b,1)) -> eps. For conditional models
@@ -49,15 +68,22 @@ def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
     x_cond: the conditioning image (defines shape); for unconditional use, pass
       an array of the target shape (its values are unused when denoise ignores
       the condition).
-    Returns final img, or (final, per-step imgs stacked on axis 0) if continous.
+    Returns final img, or (final, snapshots) if continous. Snapshots stack on
+    axis 0: frame 0 is x_cond (conditional) / the initial noise (unconditional)
+    and then one frame every `1|(T//10)` steps — the reference's ret_img
+    (diffusion.py:188-211) with the batch-axis cat turned into a leading axis.
     """
     shape = x_cond.shape
     T = sched.num_timesteps
     key, k0 = jax.random.split(key)
     img0 = jax.random.normal(k0, shape, dtype=x_cond.dtype)
 
-    def step(carry, t):
-        img, key = carry
+    slots, n_snap = _snapshot_slots(T)
+    buf0 = (jnp.zeros((n_snap,) + shape, x_cond.dtype) if continous else None)
+
+    def step(carry, xs):
+        img, key, buf = carry
+        t, slot = xs
         key, k = jax.random.split(key)
         noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
             sched.sqrt_alphas_cumprod_prev[t + 1]
@@ -72,12 +98,16 @@ def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
         noise = jax.random.normal(k, shape, dtype=img.dtype)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         img = mean + noise * jnp.exp(0.5 * logvar)
-        return (img, key), (img if continous else None)
+        if continous:
+            buf = jax.lax.dynamic_update_index_in_dim(buf, img, slot, 0)
+        return (img, key, buf), None
 
     ts = jnp.arange(T - 1, -1, -1)
-    (img, _), ys = jax.lax.scan(step, (img0, key), ts)
+    (img, _, buf), _ = jax.lax.scan(step, (img0, key, buf0),
+                                    (ts, jnp.asarray(slots)))
     if continous:
-        return img, ys
+        first = x_cond if conditional else img0
+        return img, jnp.concatenate([first[None], buf], axis=0)
     return img
 
 
@@ -120,7 +150,8 @@ def ddim_sample(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
 
     (img, _), ys = jax.lax.scan(step, (img0, key), jnp.asarray(pairs))
     if continous:
-        return img, ys
+        # reference stacks [initial noise, step imgs...] (diffusion.py:264,289)
+        return img, jnp.concatenate([img0[None], ys], axis=0)
     return img
 
 
@@ -135,7 +166,8 @@ def unconditional_sample(module, variables, sched: NoiseSchedule, shape,
         return module.apply(variables, img, noise_level, None,
                             method='denoise')
 
-    return p_sample_loop(denoise, dummy, sched, key, continous=continous)
+    return p_sample_loop(denoise, dummy, sched, key, continous=continous,
+                         conditional=False)
 
 
 def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
@@ -151,6 +183,16 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
     Jit this via functools.partial / closure; everything is traceable.
     """
     has_pred = getattr(module, 'has_predictor', False)
+    if getattr(module, 'sample_mode', 'reverse') == 'refine':
+        # NoDiffusion ablation: one refine pass at the fixed noise level
+        # sqrt_alphas_cumprod_prev[1], no reverse loop (diffusion.py:650-662).
+        gammas = jnp.full((x_in.shape[0], 1),
+                          sched.sqrt_alphas_cumprod_prev[1], x_in.dtype)
+        img = module.apply(variables, x_in, gammas, method='refine')
+        initx = module.apply(variables, x_in, method='predict_init')
+        if continous:
+            return img, initx, jnp.stack([x_in, img], axis=0)
+        return img, initx
     if compute_dtype is not None:
         # mixed precision: bf16 weights/activations through the UNets (conv
         # accumulation stays f32 on the MXU); the scan-state posterior math

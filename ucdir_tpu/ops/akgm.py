@@ -115,6 +115,10 @@ def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
         return akgm_mix_smallconvs(h, att_sp, kernel, bias, nset)
     kd_bytes = 9 * C * C * nset * h.dtype.itemsize
     if use_pallas and kd_bytes <= _PALLAS_WEIGHT_BUDGET_BYTES:
-        from ucdir_tpu.ops.akgm_pallas import akgm_mix_pallas
-        return akgm_mix_pallas(h, att_sp, kernel, bias, nset)
+        from ucdir_tpu.ops import akgm_pallas
+        if akgm_pallas.HAS_ELEMENT:
+            return akgm_pallas.akgm_mix_pallas(h, att_sp, kernel, bias, nset)
+        import warnings
+        warnings.warn('pallas Element block dims unavailable in this jax; '
+                      'falling back to the XLA densified AKGM', stacklevel=2)
     return akgm_mix_densified(h, att_sp, kernel, bias, nset)

@@ -28,8 +28,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 # Element block dims give elementwise (stride-1) start offsets — needed for
-# the overlapping 3-row halo slabs; not yet re-exported under pl.*
-from jax._src.pallas.core import Element as _Element
+# the overlapping 3-row halo slabs; not yet re-exported under pl.* (private
+# path verified against the image's jax; ops/akgm.py falls back to the XLA
+# densified form via HAS_ELEMENT when a jax upgrade moves it).
+try:
+    from jax._src.pallas.core import Element as _Element
+    HAS_ELEMENT = True
+except ImportError:  # pragma: no cover - exercised only on jax upgrades
+    _Element = None
+    HAS_ELEMENT = False
 
 from ucdir_tpu.ops.akgm import akgm_mix_reference, _densify_kernel
 

@@ -234,7 +234,8 @@ class TrainerRealSR(Trainer):
                          'HR': np.asarray(hr * 2. - 1.)}
             return
 
-        self.key, key = jax.random.split(self.key)
+        # host-local degradation of this process's data shard: per-process key
+        self.local_key, key = jax.random.split(self.local_key)
         keys = jax.random.split(key, 8)
         gt = jnp.asarray(data['gt'], jnp.float32)           # (b,h,w,3) [0,1]
         kernel1 = jnp.asarray(data['kernel1'], jnp.float32)  # (b,21,21)

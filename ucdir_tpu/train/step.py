@@ -36,10 +36,18 @@ def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
     dtype (gradients flow through the cast back to the f32 masters).
     """
 
+    refine_mode = getattr(module, 'sample_mode', 'reverse') == 'refine'
+
     def train_step(state: TrainState, batch, key):
         b, h, w, c = batch['HR'].shape
         k_gamma, k_noise, k_drop = jax.random.split(key, 3)
-        gammas = sample_continuous_gamma(k_gamma, sched, b)
+        if refine_mode:
+            # NoDiffusion conditions on the constant
+            # sqrt_alphas_cumprod_prev[1] (diffusion.py:638-644)
+            gammas = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[1],
+                              batch['HR'].dtype)
+        else:
+            gammas = sample_continuous_gamma(k_gamma, sched, b)
         noise = jax.random.normal(k_noise, batch['HR'].shape,
                                   dtype=batch['HR'].dtype)
 

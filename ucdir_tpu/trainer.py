@@ -43,7 +43,16 @@ class Trainer:
             for phase in ('train', 'val')
             if opt['model']['beta_schedule'].get(phase)}
         self.schedule_phase = None
-        self.key = jax.random.PRNGKey(seed + jax.process_index())
+        # RNG contract (SPMD): the jitted global-batch train step must see an
+        # IDENTICAL key on every process (it samples gamma/noise for the
+        # global batch inside jit; divergent keys => divergent "replicated"
+        # params). Per-step keys are derived via fold_in(key, step) in
+        # optimize_parameters. Host-local work (val sampling, feed_data noise)
+        # uses local_key, which deliberately differs per process so each
+        # process samples its own val shard independently.
+        self.key = jax.random.PRNGKey(seed)
+        self.local_key = jax.random.fold_in(
+            jax.random.PRNGKey(seed + 1), jax.process_index())
         self.iter = 0
         self.begin_step = 0
         self.begin_epoch = 0
@@ -107,7 +116,9 @@ class Trainer:
             sharding = NamedSharding(self.mesh, P('data'))
             batch = {k: jax.make_array_from_process_local_data(sharding, v)
                      for k, v in batch.items()}
-        self.key, k = jax.random.split(self.key)
+        # deterministic per-step key, identical on every process (multi-host
+        # SPMD correctness; also makes resume-from-step RNG-reproducible)
+        k = jax.random.fold_in(self.key, self.iter)
         self.state, metrics = self._train_step(self.state, batch, k)
         self.log_dict['l_pix'] = float(metrics['l_pix'])
         self.iter += 1
@@ -146,7 +157,7 @@ class Trainer:
         """Sample restoration for self.data['SR'] (reference model.py:124-138)."""
         sr = jnp.asarray(self.data['SR'], jnp.float32)
         fn = self._get_eval_fn(sr.shape, continous)
-        self.key, k = jax.random.split(self.key)
+        self.local_key, k = jax.random.split(self.local_key)
         out = fn({'params': self._current_eval_params()}, sr, k)
         if continous:
             final, initx, snaps = out
@@ -166,7 +177,7 @@ class Trainer:
         size = int(self.opt['model']['diffusion'].get('image_size', 128))
         ch = int(self.opt['model']['diffusion'].get('channels', 3))
         sched = self.schedules[self.schedule_phase]
-        self.key, k = jax.random.split(self.key)
+        self.local_key, k = jax.random.split(self.local_key)
         out = jax.jit(lambda v, k: unconditional_sample(
             self.module, v, sched, (batch_size, size, size, ch), k,
             continous=continous))({'params': self._current_eval_params()}, k)
@@ -229,7 +240,7 @@ class TrainerBNoise(Trainer):
     def feed_data(self, data):
         super().feed_data(data)
         sr = np.asarray(self.data['SR'], np.float32)
-        self.key, k = jax.random.split(self.key)
+        self.local_key, k = jax.random.split(self.local_key)
         noise = np.asarray(jax.random.normal(k, sr.shape, jnp.float32))
         self.data['SR'] = sr + noise * 2 * (50. / 255.)
 
