@@ -113,6 +113,17 @@ def main():
                         help="fused Pallas AKGM kernels (helps fp32; bf16 is faster via the XLA dispatch)")
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
+    parser.add_argument('--platform', type=str, default=None,
+                        help='force a jax platform (e.g. cpu — the TPU '
+                             'plugin ignores the JAX_PLATFORMS env var); '
+                             'pair with XLA_FLAGS='
+                             '--xla_force_host_platform_device_count=N '
+                             'for a virtual N-chip CPU mesh')
+    parser.add_argument('--val_batch', type=int, default=1,
+                        help='val images per step; batches are sharded over '
+                             'the local chip mesh (one image per chip) — the '
+                             'multi-chip serving mode for <=1024^2 inputs. '
+                             'Requires same-size val images.')
     parser.add_argument('--bucket', type=int, default=0,
                         help='pad val inputs to multiples of N (avoids '
                              'per-shape sampler recompiles on variable-size '
@@ -124,6 +135,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
     if args.distributed:
         jax.distributed.initialize()
 
@@ -177,6 +190,9 @@ def main():
                                                   world_size=world_size)
         elif phase == 'val':
             val_set = Data.create_dataset(dataset_opt, phase)
+            if args.phase == 'val' and args.val_batch > 1:
+                dataset_opt = dict(dataset_opt)
+                dataset_opt['val_batch'] = args.val_batch
             val_loader = Data.create_dataloader(val_set, dataset_opt, phase,
                                                 rank=rank,
                                                 world_size=world_size)
@@ -288,34 +304,38 @@ def main():
         os.makedirs(result_path, exist_ok=True)
         for i, val_data in enumerate(val_loader):
             logger.info('val index %d' % i)
-            idx += 1
-            fname = ''.join(os.path.basename(
-                val_set.sr_path[int(val_data['Index'][0])]).split('.')[:-1])
             diffusion.feed_data(val_data)
             diffusion.test(continous=True)
             visuals = diffusion.get_current_visuals()
+            batch = visuals['HR'].shape[0]
 
-            hr_img = Metrics.tensor2img(visuals['HR'])
-            lr_img = Metrics.tensor2img(visuals['LR'])
-            if diffusion.pre_initx is not None:
-                fake_img = Metrics.tensor2img(diffusion.pre_initx)
-            else:
-                fake_img = Metrics.tensor2img(visuals['INF'])
+            for j in range(batch):
+                idx += 1
+                fname = ''.join(os.path.basename(
+                    val_set.sr_path[int(val_data['Index'][j])]).split('.')[:-1])
+                hr_img = Metrics.tensor2img(visuals['HR'][j])
+                lr_img = Metrics.tensor2img(visuals['LR'][j])
+                if diffusion.pre_initx is not None:
+                    fake_img = Metrics.tensor2img(diffusion.pre_initx[j])
+                else:
+                    fake_img = Metrics.tensor2img(visuals['INF'][j])
 
-            sr_final = Metrics.tensor2img(visuals['SR'][-1])
-            Metrics.save_jpg(sr_final, '{}/{}_{}_sr.png'.format(
-                result_path, fname, opt['name']))
-            Metrics.save_jpg(hr_img, '{}/{}_{}_hr.png'.format(
-                result_path, fname, opt['name']))
-            Metrics.save_jpg(lr_img, '{}/{}_{}_lr.png'.format(
-                result_path, fname, opt['name']))
-            Metrics.save_jpg(fake_img, '{}/{}_{}_inf.png'.format(
-                result_path, fname, opt['name']))
+                # SR snapshots: (F, h, w, c) at batch 1 (reference layout),
+                # (F, b, h, w, c) for the batched multi-chip serving mode
+                sr_last = visuals['SR'][-1]
+                sr_final = Metrics.tensor2img(
+                    sr_last[j] if batch > 1 else sr_last)
+                Metrics.save_jpg(sr_final, '{}/{}_{}_sr.png'.format(
+                    result_path, fname, opt['name']))
+                Metrics.save_jpg(hr_img, '{}/{}_{}_hr.png'.format(
+                    result_path, fname, opt['name']))
+                Metrics.save_jpg(lr_img, '{}/{}_{}_lr.png'.format(
+                    result_path, fname, opt['name']))
+                Metrics.save_jpg(fake_img, '{}/{}_{}_inf.png'.format(
+                    result_path, fname, opt['name']))
 
-            eval_psnr = Metrics.calculate_psnr(sr_final, hr_img)
-            eval_ssim = Metrics.calculate_ssim(sr_final, hr_img)
-            avg_psnr += eval_psnr
-            avg_ssim += eval_ssim
+                avg_psnr += Metrics.calculate_psnr(sr_final, hr_img)
+                avg_ssim += Metrics.calculate_ssim(sr_final, hr_img)
 
         avg_psnr /= idx
         avg_ssim /= idx

@@ -122,6 +122,10 @@ def create_dataloader(dataset, dataset_opt: Dict[str, Any], phase: str,
                           num_workers=dataset_opt.get('num_workers', 1),
                           drop_last=True)
     if phase == 'val':
-        return DataLoader(dataset, batch_size=1, sampler=sampler,
-                          num_workers=1, drop_last=False)
+        # reference val is batch 1 (data/__init__.py:46-49); val_batch > 1 is
+        # the multi-chip serving mode (images sharded one-per-chip by
+        # make_eval_step) and needs same-size val images to collate
+        return DataLoader(dataset,
+                          batch_size=int(dataset_opt.get('val_batch') or 1),
+                          sampler=sampler, num_workers=1, drop_last=False)
     raise NotImplementedError('Dataloader [{:s}] is not found.'.format(phase))

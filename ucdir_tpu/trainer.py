@@ -59,12 +59,16 @@ class Trainer:
         self.log_dict = OrderedDict()
         self.data: Dict[str, np.ndarray] = {}
         self._eval_fns = {}  # (shape, continous) -> jitted sampler
-        # data-parallel mesh sized so the per-process batch divides it
+        # data-parallel mesh: val spans all local chips (tile chunks / image
+        # batches shard over them); train is sized so the batch divides it
         import math as _math
         n_dev = len(jax.devices())
-        bs = int(((opt.get('datasets') or {}).get('train') or {})
-                 .get('batch_size') or n_dev)
-        n_data = _math.gcd(max(bs, 1), n_dev)
+        if opt['phase'] == 'train':
+            bs = int(((opt.get('datasets') or {}).get('train') or {})
+                     .get('batch_size') or n_dev)
+            n_data = _math.gcd(max(bs, 1), n_dev)
+        else:
+            n_data = n_dev
         self.mesh = make_mesh(n_data) if n_data > 1 else None
 
         self.set_new_noise_schedule(
@@ -145,11 +149,19 @@ class Trainer:
                 self.module, sched, pad=64, continous=continous,
                 sampler=sampler, sampling_timesteps=steps,
                 compute_dtype=dtype,
-                bucket=int(self.opt.get('bucket') or 0))
+                bucket=int(self.opt.get('bucket') or 0),
+                mesh=self.mesh, tile=self.opt.get('tile'))
         return self._eval_fns[key]
 
     def _current_eval_params(self):
         if self.eval_params is not None:
+            if self.mesh is not None:
+                # restored checkpoints may be committed to a different device
+                # set (e.g. the train-time mesh); replicate over the eval mesh
+                # once and cache (device_put is a no-op when already placed)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.eval_params = jax.device_put(
+                    self.eval_params, NamedSharding(self.mesh, P()))
             return self.eval_params
         return self.state.params  # in-train validation uses the live weights
 

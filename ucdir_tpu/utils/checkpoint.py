@@ -72,10 +72,24 @@ def load_params_for_eval(resume_state: str, use_ema: bool = True) -> Dict[str, A
     suffix = '_gen_ema.pth' if use_ema else '_gen.pth'
     if os.path.exists(resume_state + suffix):
         return load_torch_checkpoint(resume_state + suffix)
-    # orbax directory
+    # orbax directory: restore as host numpy — the checkpoint may have been
+    # written on a different platform/mesh (e.g. saved on TPU, evaluated on a
+    # CPU mesh); device placement happens later against the eval mesh
+    # (Trainer._current_eval_params).
     ocp = _ocp()
     path = os.path.abspath(resume_state)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+
+    def _np_restore_args(t):
+        if isinstance(t, dict):
+            return {k: _np_restore_args(v) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return [_np_restore_args(v) for v in t]
+        return ocp.RestoreArgs(restore_type=np.ndarray)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, 'item_metadata', meta)
+        tree = getattr(tree, 'tree', tree)
+        restored = ckptr.restore(path, restore_args=_np_restore_args(tree))
     key = 'ema_params' if use_ema and 'ema_params' in restored else 'params'
     return restored[key]
