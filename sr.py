@@ -119,6 +119,11 @@ def main():
                              'pair with XLA_FLAGS='
                              '--xla_force_host_platform_device_count=N '
                              'for a virtual N-chip CPU mesh')
+    parser.add_argument('--scan_segment', type=int, default=0,
+                        help='split the 50-step reverse process into device '
+                             'executions of N steps each (bit-identical; '
+                             'needed on tunneled TPUs where one >60s '
+                             'execution trips the RPC deadline)')
     parser.add_argument('--val_batch', type=int, default=1,
                         help='val images per step; batches are sharded over '
                              'the local chip mesh (one image per chip) — the '
@@ -153,10 +158,13 @@ def main():
                        debug=args.debug, enable_wandb=args.enable_wandb,
                        num_processes=world_size)
     opt['rank'], opt['world_size'] = rank, world_size
+    opt['log_wandb_ckpt'] = args.log_wandb_ckpt
+    opt['log_eval'] = args.log_eval
     opt['sampler'] = args.sampler
     opt['sampling_timesteps'] = args.sampling_timesteps
     opt['compute_dtype'] = args.compute_dtype
     opt['bucket'] = args.bucket
+    opt['scan_segment'] = args.scan_segment
 
     setup_logger('base', opt['path']['log'], 'train', level=logging.INFO,
                  screen=True, process_index=rank)
@@ -172,10 +180,16 @@ def main():
         tb_logger = None
 
     wandb_logger = None
+    val_step = 0
     if opt['enable_wandb']:
         try:
+            import wandb
             from ucdir_tpu.utils.wandb_logger import WandbLogger
             wandb_logger = WandbLogger(opt)
+            # reference sr.py:363-370: val metrics on their own step axis
+            wandb.define_metric('validation/val_step')
+            wandb.define_metric('epoch')
+            wandb.define_metric('validation/*', step_metric='val_step')
         except Exception as e:
             logger.warning('wandb unavailable: %s', e)
 
@@ -282,6 +296,11 @@ def main():
                             current_epoch, current_step, avg_psnr))
                     if tb_logger:
                         tb_logger.add_scalar('psnr', avg_psnr, current_step)
+                    if wandb_logger:
+                        wandb_logger.log_metrics({
+                            'validation/val_psnr': avg_psnr,
+                            'validation/val_step': val_step})
+                        val_step += 1
 
                 if current_step % opt['train']['save_models'] == 0 and rank == 0:
                     diffusion.save_network(current_epoch, current_step)
@@ -289,6 +308,10 @@ def main():
                         and rank == 0):
                     logger.info('Saving models and training states.')
                     diffusion.save_network('latest', '')
+                    if wandb_logger and opt['log_wandb_ckpt']:
+                        wandb_logger.log_checkpoint(current_epoch, current_step)
+            if wandb_logger:
+                wandb_logger.log_metrics({'epoch': current_epoch - 1})
         logger.info('End of training.')
     else:
         logger.info('Begin Model Evaluation. len ' + str(len(val_loader)))
@@ -334,8 +357,13 @@ def main():
                 Metrics.save_jpg(fake_img, '{}/{}_{}_inf.png'.format(
                     result_path, fname, opt['name']))
 
-                avg_psnr += Metrics.calculate_psnr(sr_final, hr_img)
-                avg_ssim += Metrics.calculate_ssim(sr_final, hr_img)
+                eval_psnr = Metrics.calculate_psnr(sr_final, hr_img)
+                eval_ssim = Metrics.calculate_ssim(sr_final, hr_img)
+                avg_psnr += eval_psnr
+                avg_ssim += eval_ssim
+                if wandb_logger and opt['log_eval']:
+                    wandb_logger.log_eval_data(fake_img, sr_final, hr_img,
+                                               eval_psnr, eval_ssim)
 
         avg_psnr /= idx
         avg_ssim /= idx
@@ -344,6 +372,11 @@ def main():
         logging.getLogger('val').info(
             '<epoch:{:3d}, iter:{:8,d}> psnr: {:.4e}, ssim: {:.4e}'.format(
                 current_epoch, current_step, avg_psnr, avg_ssim))
+        if wandb_logger:
+            if opt['log_eval']:
+                wandb_logger.log_eval_table()
+            wandb_logger.log_metrics({'PSNR': float(avg_psnr),
+                                      'SSIM': float(avg_ssim)})
 
 
 if __name__ == '__main__':

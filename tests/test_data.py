@@ -157,3 +157,35 @@ def test_lrhr_triplet_dataset(tmp_path):
            'mode': 'LRHR'}
     ds2 = create_dataset(opt, 'val')
     assert len(ds2) == 2
+
+
+@pytest.mark.parametrize('mode', ['bbox', 'center', 'irregular', 'free_form',
+                                  'hybrid'])
+def test_get_mask_modes(mode):
+    """Mode dispatch parity with the reference get_mask
+    (LRHR_dataset.py:304-322): every mode yields a nonempty uint8 HW1 mask."""
+    from ucdir_tpu.data.mask import get_mask
+    m = get_mask(mode, (64, 64))
+    assert m.shape == (64, 64, 1) and m.dtype == np.uint8
+    assert 0 < m.mean() < 1
+    if mode == 'center':
+        # deterministic center box: exactly the middle h/2 x w/2
+        assert m[16:48, 16:48].all() and m.sum() == 32 * 32
+
+
+def test_get_mask_unknown_mode():
+    from ucdir_tpu.data.mask import get_mask
+    with pytest.raises(NotImplementedError):
+        get_mask('nope', (64, 64))
+
+
+def test_pair_dataset_mask_mode(img_dirs):
+    """PairDataset honors mask + mask_mode config (reference defaults to
+    free_form, LRHR_dataset.py:292)."""
+    from ucdir_tpu.data.datasets import PairDataset
+    ds = PairDataset(dataroot={'lq': f'{img_dirs}/lq', 'gt': f'{img_dirs}/gt'},
+                     split='train', crop_size=32, mask=1, mask_mode='center')
+    item = ds[0]
+    m = item['mask']
+    assert m.shape == (32, 32, 1)
+    assert m[8:24, 8:24].all() and m.sum() == 16 * 16

@@ -205,3 +205,55 @@ def test_bucketed_eval_step():
     b, _ = f_bucket({'params': state.params}, x, KEY)
     assert a.shape == b.shape == (1, 20, 28, 3)
     assert np.isfinite(np.asarray(b)).all()
+
+
+def test_finetune_norm_freezes_and_zeroes():
+    """finetune_norm (reference model.py:62-77): selected params start at
+    zero and move; everything else is hard-frozen."""
+    from ucdir_tpu.train.optim import finetune_mask, zero_finetune_params
+    module = tiny_module()
+    x_in = {'HR': jnp.ones((2, 16, 16, 3)) * 0.3,
+            'SR': jnp.zeros((2, 16, 16, 3))}
+    variables = jax.jit(module.init)(
+        {'params': KEY, 'dropout': KEY}, x_in, jnp.ones((2, 1)) * 0.5,
+        jnp.zeros((2, 16, 16, 3)))
+    mask = finetune_mask(variables['params'], 'final_conv')
+    assert any(jax.tree_util.tree_leaves(mask))
+    params = zero_finetune_params(variables['params'], mask)
+    tx = make_optimizer({'type': 'adamw', 'lr': 1e-2}, mask=mask)
+    state = create_train_state(params, tx, None)
+    step = make_train_step(module, SCHED, donate=False)
+    state2, _ = step(state, x_in, KEY)
+
+    flat0 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(state2.params))
+    maskf = dict(jax.tree_util.tree_leaves_with_path(mask))
+    moved = frozen_moved = 0
+    for path, p0 in flat0:
+        p2, m = flat2[path], maskf[path]
+        if m:
+            assert float(jnp.max(jnp.abs(p0))) == 0.0  # zero-initialized
+            moved += float(jnp.max(jnp.abs(p2 - p0))) > 0
+        else:
+            frozen_moved += float(jnp.max(jnp.abs(p2 - p0))) > 0
+    assert moved > 0 and frozen_moved == 0
+
+    with pytest.raises(ValueError, match='finetune_norm'):
+        finetune_mask(variables['params'], 'transformer')
+
+
+def test_segmented_eval_bit_identical():
+    """seg_steps splits the reverse process into several device executions;
+    the RNG stream, snapshot slots and math are shared with the single-scan
+    program, so results must be bit-identical (incl. a non-dividing last
+    segment)."""
+    from ucdir_tpu.train.step import make_eval_step
+    module = tiny_module()
+    state = make_state(module)
+    x = jax.random.normal(KEY, (1, 20, 24, 3))
+    one = make_eval_step(module, SCHED, pad=8, continous=True)
+    seg = make_eval_step(module, SCHED, pad=8, continous=True, seg_steps=4)
+    a = one({'params': state.params}, x, KEY)
+    b = seg({'params': state.params}, x, KEY)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))

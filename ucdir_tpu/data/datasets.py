@@ -69,6 +69,9 @@ class PairDataset(_Base):
         self.split = split
         self.crop_size = kwargs.get('crop_size', 0) or 0
         self.mask = kwargs.get('mask', -1) or -1
+        # the reference hardwires free_form at the PairDataset call site
+        # (LRHR_dataset.py:292) but its get_mask dispatches 5 modes (:304-322)
+        self.mask_mode = kwargs.get('mask_mode') or 'free_form'
         self.sr_path = Util.get_paths_from_images(dataroot['lq'])
         self.hr_path = Util.get_paths_from_images(dataroot['gt'])
         self.data_len = self._resolve_len(len(self.hr_path), data_len)
@@ -90,8 +93,8 @@ class PairDataset(_Base):
 
                 mask = 0
                 if self.mask > 0:
-                    from ucdir_tpu.data.mask import brush_stroke_mask
-                    mask = brush_stroke_mask(img_SR.shape[:2])  # HW1 uint8
+                    from ucdir_tpu.data.mask import get_mask
+                    mask = get_mask(self.mask_mode, img_SR.shape[:2])  # HW1 uint8
                 return {'HR': img_HR, 'SR': img_SR, 'Index': index, 'mask': mask}
             except Exception:
                 print('**error', self.hr_path[index])

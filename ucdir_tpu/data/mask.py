@@ -114,3 +114,25 @@ def get_irregular_mask(img_shape: Tuple[int, int],
             break
         mask = random_irregular_mask(img_shape, rng=rng)
     return mask
+
+
+def get_mask(mask_mode: str, image_size: Tuple[int, int],
+             rng=np.random) -> np.ndarray:
+    """Mode dispatch mirroring MemcachedBase.get_mask
+    (/root/reference/data/LRHR_dataset.py:304-322). Returns uint8 HW1,
+    1 = hole."""
+    if mask_mode == 'bbox':
+        return bbox2mask(image_size, random_bbox(image_size, rng=rng))
+    if mask_mode == 'center':
+        h, w = image_size[:2]
+        return bbox2mask(image_size, (h // 4, w // 4, h // 2, w // 2))
+    if mask_mode == 'irregular':
+        return get_irregular_mask(image_size, rng=rng)
+    if mask_mode == 'free_form':
+        return brush_stroke_mask(image_size, rng=rng)
+    if mask_mode == 'hybrid':
+        regular = bbox2mask(image_size, random_bbox(image_size, rng=rng))
+        irregular = brush_stroke_mask(image_size, rng=rng)
+        return (regular | irregular).astype(np.uint8)
+    raise NotImplementedError(
+        'Mask mode {} has not been implemented.'.format(mask_mode))

@@ -58,6 +58,43 @@ def _snapshot_slots(T: int):
     return np.asarray(slots, np.int32), n
 
 
+def ddpm_scan_segment(denoise: Callable, sched: NoiseSchedule, img, key, buf,
+                      ts, slots, clip_denoised: bool = True):
+    """Scan the ancestral step over a (contiguous, descending) t segment.
+
+    Carry = (img, key, buf); buf is the snapshot buffer (or None). Segments
+    exist so one reverse process can be split across SEVERAL device
+    executions (carry round-trips through host): a single 50-step program at
+    SID resolution runs ~81s on one chip, which trips RPC deadlines on
+    tunneled-TPU setups — and segment boundaries double as progress points.
+    """
+    shape = img.shape
+
+    def step(carry, xs):
+        img, key, buf = carry
+        t, slot = xs
+        key, k = jax.random.split(key)
+        noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
+            sched.sqrt_alphas_cumprod_prev[t + 1]
+        eps = denoise(img, noise_level)
+        x0 = (sched.sqrt_recip_alphas_cumprod[t] * img
+              - sched.sqrt_recipm1_alphas_cumprod[t] * eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1., 1.)
+        mean = (sched.posterior_mean_coef1[t] * x0
+                + sched.posterior_mean_coef2[t] * img)
+        logvar = sched.posterior_log_variance_clipped[t]
+        noise = jax.random.normal(k, shape, dtype=img.dtype)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        img = mean + noise * jnp.exp(0.5 * logvar)
+        if buf is not None:
+            buf = jax.lax.dynamic_update_index_in_dim(buf, img, slot, 0)
+        return (img, key, buf), None
+
+    (img, key, buf), _ = jax.lax.scan(step, (img, key, buf), (ts, slots))
+    return img, key, buf
+
+
 def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
                   key: jax.Array, clip_denoised: bool = True,
                   continous: bool = False, conditional: bool = True):
@@ -81,30 +118,10 @@ def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
     slots, n_snap = _snapshot_slots(T)
     buf0 = (jnp.zeros((n_snap,) + shape, x_cond.dtype) if continous else None)
 
-    def step(carry, xs):
-        img, key, buf = carry
-        t, slot = xs
-        key, k = jax.random.split(key)
-        noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
-            sched.sqrt_alphas_cumprod_prev[t + 1]
-        eps = denoise(img, noise_level)
-        x0 = (sched.sqrt_recip_alphas_cumprod[t] * img
-              - sched.sqrt_recipm1_alphas_cumprod[t] * eps)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1., 1.)
-        mean = (sched.posterior_mean_coef1[t] * x0
-                + sched.posterior_mean_coef2[t] * img)
-        logvar = sched.posterior_log_variance_clipped[t]
-        noise = jax.random.normal(k, shape, dtype=img.dtype)
-        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
-        img = mean + noise * jnp.exp(0.5 * logvar)
-        if continous:
-            buf = jax.lax.dynamic_update_index_in_dim(buf, img, slot, 0)
-        return (img, key, buf), None
-
     ts = jnp.arange(T - 1, -1, -1)
-    (img, _, buf), _ = jax.lax.scan(step, (img0, key, buf0),
-                                    (ts, jnp.asarray(slots)))
+    img, _, buf = ddpm_scan_segment(denoise, sched, img0, key, buf0,
+                                    ts, jnp.asarray(slots),
+                                    clip_denoised=clip_denoised)
     if continous:
         first = x_cond if conditional else img0
         return img, jnp.concatenate([first[None], buf], axis=0)

@@ -211,6 +211,11 @@ def convert_inception_torch(state_dict) -> Dict[str, Any]:
         put(path + ('conv', 'kernel'), w)
         put(path + ('bn_scale',), scale.astype(np.float32))
         put(path + ('bn_bias',), bias.astype(np.float32))
+    # classifier head (torchvision fc) — used by the inception score
+    # (reference eval1.py:74-130 classifies with the full inception_v3)
+    if 'fc.weight' in state_dict:
+        put(('fc', 'kernel'), np_(state_dict['fc.weight']).T)
+        put(('fc', 'bias'), np_(state_dict['fc.bias']))
     return tree
 
 
@@ -240,7 +245,8 @@ def make_feature_fn(path: Optional[str] = None, batch_size: int = 64):
     """Returns fn(images NHWC) -> (N, 2048) pool3 features, batched."""
     params = load_inception_params(path)
     model = InceptionV3Features()
-    fwd = jax.jit(lambda x: model.apply({'params': params}, x))
+    feat_params = {k: v for k, v in params.items() if k != 'fc'}
+    fwd = jax.jit(lambda x: model.apply({'params': feat_params}, x))
 
     def features(images):
         outs = []
@@ -249,3 +255,29 @@ def make_feature_fn(path: Optional[str] = None, batch_size: int = 64):
         return np.concatenate(outs, axis=0)
 
     return features
+
+
+def make_classifier_fn(path: Optional[str] = None, batch_size: int = 64):
+    """Returns fn(images NHWC) -> (N, 1000) softmax class probabilities —
+    pool3 features through the torchvision fc head (the reference's
+    inception-score classifier, eval1.py:74-130 / :106). Requires a
+    state_dict that includes fc.weight/fc.bias."""
+    params = load_inception_params(path)
+    if 'fc' not in params:
+        raise RuntimeError('inception checkpoint has no fc head; the '
+                           'inception score needs a full torchvision '
+                           'inception_v3 state_dict')
+    model = InceptionV3Features()
+    feat_params = {k: v for k, v in params.items() if k != 'fc'}
+    w, b = params['fc']['kernel'], params['fc']['bias']
+
+    fwd = jax.jit(lambda x: jax.nn.softmax(
+        model.apply({'params': feat_params}, x) @ w + b, axis=-1))
+
+    def probs(images):
+        outs = []
+        for i in range(0, len(images), batch_size):
+            outs.append(np.asarray(fwd(preprocess(images[i:i + batch_size]))))
+        return np.concatenate(outs, axis=0)
+
+    return probs

@@ -31,11 +31,22 @@ def define_G(opt: Dict[str, Any], use_pallas: bool = False,
                     **{k: v for k, v in unet_cfg.items() if v is not None})
 
     diff_cfg = dict(model_opt['diffusion'])
-    diff_cls = DIFFUSIONS[model_opt.get('diffusion_name', 'GaussianDiffusion')]
+    diffusion_name = model_opt.get('diffusion_name', 'GaussianDiffusion')
+    diff_cls = DIFFUSIONS[diffusion_name]
+
+    perceptual_fn = None
+    if diffusion_name == 'PerceptualGaussianDiffusion':
+        # the reference builds lpips.LPIPS(net='vgg'|'alex') inside the
+        # variant (diffusion.py:355); here the jax-ported LPIPS is injected
+        # (weights from UCDIR_TPU_LPIPS_WEIGHTS or model.lpips_weights)
+        from ucdir_tpu.metrics.lpips import make_lpips
+        perceptual_fn = make_lpips(model_opt.get('lpips_weights'))
+
     return diff_cls(
         denoise_fn=unet,
         image_size=diff_cfg.get('image_size', 128),
         channels=diff_cfg.get('channels', 3),
         conditional=bool(diff_cfg.get('conditional', True)),
         loss_type=diff_cfg.get('loss_type', 'l1'),
+        perceptual_fn=perceptual_fn,
     )

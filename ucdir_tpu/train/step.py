@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ucdir_tpu.diffusion.sampler import sample_continuous_gamma, super_resolution
+import numpy as np
+
+from ucdir_tpu.diffusion.sampler import (sample_continuous_gamma,
+                                         super_resolution, ddpm_scan_segment,
+                                         _snapshot_slots)
 from ucdir_tpu.schedule import NoiseSchedule
 from ucdir_tpu.train.state import TrainState
 
@@ -89,7 +93,8 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                    sampling_timesteps: int = 5, eta: float = 1.0,
                    compute_dtype=None, bucket: int = 0,
                    mesh: Optional[Mesh] = None,
-                   tile: Optional[dict] = None) -> Callable:
+                   tile: Optional[dict] = None,
+                   seg_steps: Optional[int] = None) -> Callable:
     """Returns eval_step(variables, sr_img, key) -> (sr, initx[, snaps]).
 
     Reproduces DDPM.test (model.py:124-138): reflect-pad the degraded input by
@@ -112,6 +117,14 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
     task) reuse a small set of compiled programs instead of recompiling the
     whole sampling scan per image. Slight border deviation vs the reference
     (extra reflected context), interior unchanged.
+
+    seg_steps > 0 (ddpm only): run the reverse process as ceil(T/seg_steps)
+    device executions with the carry round-tripping through jit boundaries —
+    bit-identical to the single-scan program (same RNG stream), but each
+    execution stays short. Needed where single device executions have a
+    wall-clock ceiling (tunneled TPUs: a 50-step SID-size program runs ~81s
+    and trips the RPC deadline); also gives natural progress/preemption
+    points. Overhead: one dispatch (~ms) per segment.
     """
     tile = dict(tile or {})
     if mesh is not None:
@@ -120,6 +133,13 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
     tile.setdefault('skip', 1024)
     tile.setdefault('padding', 64)
     skip = int(tile['skip'])
+
+    if (seg_steps and sampler == 'ddpm' and not bucket
+            and getattr(module, 'sample_mode', 'reverse') == 'reverse'):
+        return _make_segmented_eval_step(
+            module, sched, pad=pad, continous=continous,
+            compute_dtype=compute_dtype, mesh=mesh, tile=tile, skip=skip,
+            seg_steps=int(seg_steps))
 
     def eval_step(variables, sr_img, key):
         x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
@@ -165,3 +185,89 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
         return out
 
     return bucketed
+
+
+def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
+                              continous: bool, compute_dtype, mesh,
+                              tile: dict, skip: int, seg_steps: int):
+    """Segmented DDPM eval (see make_eval_step seg_steps): prep + K segment
+    executions + eager finish. Bit-identical to the one-scan path — the RNG
+    stream, snapshot slots and posterior math are shared (ddpm_scan_segment)."""
+    T = sched.num_timesteps
+    slots_np, n_snap = _snapshot_slots(T)
+    ts_np = np.arange(T - 1, -1, -1, dtype=np.int32)
+    has_pred = getattr(module, 'has_predictor', False)
+    guide_mode = getattr(module, 'guide_in_sample', None)
+
+    def _cast_all(variables, x):
+        if compute_dtype is None:
+            return variables, x
+        return (jax.tree_util.tree_map(lambda p: p.astype(compute_dtype),
+                                       variables), x.astype(compute_dtype))
+
+    def prep(variables, sr_img, key):
+        x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode='reflect') if pad else sr_img
+        net_vars, x_net = _cast_all(variables, x)
+        initx = (module.apply(net_vars, x_net,
+                              method='predict_init').astype(x.dtype)
+                 if has_pred else None)
+        guide = {'initx': initx, 'degraded': x, None: None}[guide_mode]
+        key, k0 = jax.random.split(key)
+        img0 = jax.random.normal(k0, x.shape, x.dtype)
+        buf0 = (jnp.zeros((n_snap,) + x.shape, x.dtype) if continous else None)
+        return x, initx, guide, img0, buf0, key
+
+    def segment(variables, x, guide, img, key, buf, ts, slots):
+        net_vars, x_net = _cast_all(variables, x)
+        net_dtype = x_net.dtype
+        guide_net = guide.astype(net_dtype) if guide is not None else None
+        h, w = x.shape[1], x.shape[2]
+        if h * w > skip * skip:
+            from ucdir_tpu.parallel.tiled import tiled_denoise_fn
+            tiled = tiled_denoise_fn(
+                module.denoise_fn, net_vars['params']['denoise_fn'], x_net,
+                guide_net if guide_net is not None else x_net,
+                skip=skip, padding=int(tile['padding']),
+                tile_chunk=int(tile.get('tile_chunk') or 1),
+                data_axis=tile.get('data_axis'))
+
+            def denoise(im, nl):
+                return tiled(im.astype(net_dtype),
+                             nl.astype(net_dtype)).astype(im.dtype)
+        else:
+            def denoise(im, nl):
+                net_in = jnp.concatenate([x_net, im.astype(net_dtype)],
+                                         axis=-1)
+                return module.apply(net_vars, net_in, nl.astype(net_dtype),
+                                    guide_net,
+                                    method='denoise').astype(im.dtype)
+        return ddpm_scan_segment(denoise, sched, img, key, buf, ts, slots)
+
+    prep_j = jax.jit(prep)
+    seg_j = jax.jit(segment)
+
+    def runner(variables, sr_img, key):
+        import contextlib
+        ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            x, initx, guide, img, buf, key = prep_j(variables, sr_img, key)
+            for s in range(0, T, seg_steps):
+                e = min(s + seg_steps, T)
+                img, key, buf = seg_j(variables, x, guide, img, key, buf,
+                                      jnp.asarray(ts_np[s:e]),
+                                      jnp.asarray(slots_np[s:e]))
+        if initx is not None:
+            img = img + initx
+        out = [img, initx]
+        if continous:
+            snaps = jnp.concatenate([x[None], buf], axis=0)
+            if initx is not None:
+                snaps = snaps + initx[None]
+            out.append(snaps)
+        if pad:
+            out = [o[..., pad:-pad, pad:-pad, :] if o is not None else o
+                   for o in out]
+        return tuple(out)
+
+    return runner

@@ -76,8 +76,22 @@ class Trainer:
 
         params = self._init_params()
         if opt['phase'] == 'train':
+            mask = None
+            ft = (opt.get('model') or {}).get('finetune_norm')
+            if ft:
+                # reference model.py:62-77: freeze all, zero + optimize only
+                # params whose name matches (default substring 'transformer';
+                # a string config value selects a different substring)
+                from ucdir_tpu.train.optim import (finetune_mask,
+                                                   zero_finetune_params)
+                mask = finetune_mask(params,
+                                     ft if isinstance(ft, str) else 'transformer')
+                params = zero_finetune_params(params, mask)
+                n_opt = sum(bool(m) for m in jax.tree_util.tree_leaves(mask))
+                logger.info('finetune_norm: optimizing %d param tensors '
+                            '(zero-initialized), rest frozen', n_opt)
             tx = make_optimizer(opt['train']['optimizer'],
-                                clip_norm=opt.get('clip_norm'))
+                                clip_norm=opt.get('clip_norm'), mask=mask)
             self.state = create_train_state(params, tx,
                                             opt['train']['ema_scheduler'])
             train_dtype = {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16}.get(
@@ -150,7 +164,8 @@ class Trainer:
                 sampler=sampler, sampling_timesteps=steps,
                 compute_dtype=dtype,
                 bucket=int(self.opt.get('bucket') or 0),
-                mesh=self.mesh, tile=self.opt.get('tile'))
+                mesh=self.mesh, tile=self.opt.get('tile'),
+                seg_steps=int(self.opt.get('scan_segment') or 0) or None)
         return self._eval_fns[key]
 
     def _current_eval_params(self):

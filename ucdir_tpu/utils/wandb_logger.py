@@ -17,6 +17,7 @@ class WandbLogger:
                 project=(opt.get('wandb') or {}).get('project', 'ucdir_tpu'),
                 config=dict(opt), dir='./experiments')
         self.config = self._wandb.config
+        self._ckpt_dir = (opt.get('path') or {}).get('checkpoint', '')
         self.eval_table = None
         self.infer_table = None
         if self.config.get('log_eval', None):
@@ -37,12 +38,18 @@ class WandbLogger:
                                     for im in list_images]})
 
     def log_checkpoint(self, current_epoch, current_step):
+        """Upload the orbax checkpoint dir as a W&B artifact (reference
+        core/wandb_logger.py:56-70 uploads the torch .pth triple)."""
+        import os
         model_artifact = self._wandb.Artifact(
             self._wandb.run.id + '_model', type='model')
-        gen_path = 'I{}_E{}'.format(current_step, current_epoch)
+        tag = 'I{}_E{}'.format(current_step, current_epoch)
+        gen_path = os.path.join(self._ckpt_dir, tag)
+        if not os.path.isdir(gen_path):  # periodic 'latest' overwrite tag
+            gen_path = os.path.join(self._ckpt_dir, 'I_Elatest')
         model_artifact.add_dir(gen_path)
         self._wandb.log_artifact(model_artifact,
-                                 aliases=['latest', gen_path])
+                                 aliases=['latest', tag])
 
     def log_eval_data(self, fake_img, sr_img, hr_img, psnr=None, ssim=None):
         if self.eval_table is not None:
