@@ -14,15 +14,17 @@ sys.path.insert(0, _ROOT)
 # jax is already imported by the jaxtyping pytest plugin at this point, so the
 # env var alone is too late — jax captured it at import. Update the config
 # directly; the backend itself is initialized lazily, so this still works.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
+# Opt-out: UCDIR_TPU_HW=1 keeps the real backend so the hardware-marked tests
+# (tests/test_tpu_hw.py) run on the actual chip.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("UCDIR_TPU_HW") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
 
 # XLA:CPU (LLVM) compiles are slow in this image — cache them across test runs.
 jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')

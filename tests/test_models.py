@@ -149,6 +149,23 @@ def test_akgm_smallconvs_matches_grouped(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("form", ["akgm_mix_batchgroup", "akgm_mix_patches"])
+def test_akgm_true_flop_forms_match_grouped(rng, form):
+    """Round-2 true-FLOP formulations (no zero expansion) vs the reference."""
+    import ucdir_tpu.ops.akgm as ops
+    fn = getattr(ops, form)
+    for (b, H, W, C, G) in [(2, 8, 8, 16, 8), (1, 7, 9, 64, 8)]:
+        h = jnp.asarray(rng.standard_normal((b, H, W, C)), jnp.float32)
+        att = jnp.asarray(rng.standard_normal((b, H, W, G)), jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((3, 3, C // G, C * G)) * 0.1,
+                             jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((C * G,)) * 0.1, jnp.float32)
+        a = akgm_mix_reference(h, att, kernel, bias, G)
+        g = fn(h, att, kernel, bias, G)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_streaming_attention_matches_full(rng):
     """flash-style path vs dense softmax attention on the same weights."""
     import ucdir_tpu.models.attention as attn_mod

@@ -1,0 +1,84 @@
+"""Opt-in REAL-TPU hardware tests (VERDICT r1 item 9).
+
+The suite's conftest forces a CPU mesh; the fused Pallas AKGM kernel is
+therefore suite-tested in interpret mode only. These tests pin Mosaic-compiled
+correctness on the actual chip. Run with:
+
+    UCDIR_TPU_HW=1 python -m pytest tests/test_tpu_hw.py -v
+
+(on the axon tunnel this takes one compile, ~30 s; skipped everywhere else.)
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("UCDIR_TPU_HW") != "1",
+    reason="opt-in hardware test: set UCDIR_TPU_HW=1 on a TPU host")
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU device (platform=%s)" % jax.devices()[0].platform)
+    return jax.devices()[0]
+
+
+@pytest.mark.parametrize("dtype,tol", [("float32", 2e-3), ("bfloat16", 6e-2)])
+def test_akgm_pallas_matches_xla_on_hardware(tpu, dtype, tol):
+    """Mosaic-compiled fused kernel vs the XLA reference formulation, on chip."""
+    import jax
+    import jax.numpy as jnp
+    from ucdir_tpu.ops.akgm import akgm_mix_reference
+    from ucdir_tpu.ops import akgm_pallas
+
+    if not akgm_pallas.HAS_ELEMENT:
+        pytest.skip("pallas Element block dims unavailable in this jax")
+
+    dt = jnp.dtype(dtype)
+    key = jax.random.PRNGKey(0)
+    S, C, G = 128, 64, 8
+    h = jax.random.normal(key, (1, S, S, C), dt)
+    att = jax.random.normal(jax.random.fold_in(key, 1), (1, S, S, G), dt)
+    kernel = jax.random.normal(jax.random.fold_in(key, 2),
+                               (3, 3, C // G, C * G), dt) * 0.1
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (C * G,), dt) * 0.1
+
+    want = jax.jit(lambda *a: akgm_mix_reference(*a, nset=G))(
+        h, att, kernel, bias)
+    got = jax.jit(lambda *a: akgm_pallas.akgm_mix_pallas(*a, 8))(
+        h, att, kernel, bias)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-6
+    assert err / scale < tol, "rel err %.3e on hardware" % (err / scale)
+
+
+def test_eval_step_smoke_on_hardware(tpu):
+    """One 2-step reverse process at a small size runs end-to-end on chip."""
+    import jax
+    import jax.numpy as jnp
+    from ucdir_tpu.config import parse
+    from ucdir_tpu.models.factory import define_G
+    from ucdir_tpu.schedule import make_schedule
+    from ucdir_tpu.train.step import make_eval_step
+
+    cfg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'ucdir_tpu', 'configs', 'sid.yaml')
+    opt = parse(cfg, phase='val', checkpoint=None, num_processes=1,
+                make_dirs=False)
+    opt['model']['beta_schedule']['val']['n_timestep'] = 2
+    module = define_G(opt, use_pallas=False)
+    sched = make_schedule(opt['model']['beta_schedule']['val'])
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32, -1, 1)
+    variables = jax.jit(module.init)(
+        {'params': key, 'dropout': key}, {'HR': x0, 'SR': x0},
+        jnp.ones((1, 1), jnp.float32) * 0.5, jnp.zeros_like(x0))
+    ev = make_eval_step(module, sched, pad=16, compute_dtype=jnp.bfloat16)
+    out = ev(variables, x0, key)
+    sr = np.asarray(out[0])
+    assert sr.shape == (1, 64, 64, 3) and np.isfinite(sr).all()

@@ -95,11 +95,56 @@ def akgm_mix_smallconvs(h, att_sp, kernel, bias, nset: int):
     return jnp.concatenate(outs, axis=-1)
 
 
+def akgm_mix_batchgroup(h, att_sp, kernel, bias, nset: int):
+    """Groups moved to the conv *batch* dim (batch_group_count=G): true FLOPs,
+    no zero expansion. Input batch is laid out group-major ((g*b+bb) rows);
+    XLA's batch-group semantics assign output-feature group g to batch group
+    g, which is exactly the canonical grouped-conv output order."""
+    b, H, W, C = h.shape
+    G = nset
+    cg = C // G
+    hg = h.reshape(b, H, W, G, cg).transpose(3, 0, 1, 2, 4)
+    hg = hg.reshape(G * b, H, W, cg)
+    y = lax.conv_general_dilated(
+        hg, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        batch_group_count=G) + bias
+    y = y.reshape(b, H, W, C, G)
+    return jnp.einsum('bhwcj,bhwj->bhwc', y, att_sp,
+                      preferred_element_type=h.dtype)
+
+
+def akgm_mix_patches(h, att_sp, kernel, bias, nset: int):
+    """im2col + G-batched matmul with a 9*(C/G) contraction: true FLOPs at
+    ~9x better MXU contraction depth than per-group small convs. The patch
+    tensor is a 9x intermediate (vs the densified path's G=8x candidate
+    tensor, which this replaces at equal HBM cost but 8x fewer FLOPs)."""
+    b, H, W, C = h.shape
+    G = nset
+    cg = C // G
+    # (b,H,W,C*9); feature index = c*9 + tap ("chw collapsed" per jax docs)
+    p = lax.conv_general_dilated_patches(
+        h, (3, 3), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    p = p.reshape(b, H, W, G, cg * 9)
+    # weights (G, cg*9, C): w[g, i*9+t, cl] = kernel[ty, tx, i, g*C+cl]
+    w = kernel.reshape(9, cg, C * G).transpose(1, 0, 2)       # (cg, 9, CG)
+    w = w.reshape(cg * 9, G, C).transpose(1, 0, 2)            # (G, cg*9, C)
+    y = jnp.einsum('bhwgk,gkc->bhwgc', p, w,
+                   preferred_element_type=h.dtype) + bias.reshape(G, C)
+    y = y.reshape(b, H, W, C, G)   # group-major flat == reference (C,G) view
+    return jnp.einsum('bhwcj,bhwj->bhwc', y, att_sp,
+                      preferred_element_type=h.dtype)
+
+
 # VMEM budget for the Pallas kernel's resident zero-expanded weights
 # (9, C, C*G); beyond this the kernel cannot fit alongside the pipeline
 # buffers, and at those depths (small spatial dims) the densified XLA path is
 # just as fast anyway (measured: 84^2/C=512 pallas 3.35ms vs XLA 3.46ms).
 _PALLAS_WEIGHT_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+_FORMS = {}  # name -> fn, populated below for the env-var override
 
 
 def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
@@ -109,7 +154,14 @@ def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
       * otherwise densified dense conv (XLA) or the fused Pallas kernel when
         `use_pallas` and the resident weights fit VMEM.
     (fp32 full-model runs measured FASTER with densified everywhere, despite
-    isolated per-op numbers favoring small convs — in-model fusion effects.)"""
+    isolated per-op numbers favoring small convs — in-model fusion effects.)
+
+    UCDIR_TPU_AKGM_FORM=<reference|densified|smallconvs|batchgroup|patches>
+    forces one formulation everywhere (perf experiments only)."""
+    import os
+    forced = os.environ.get('UCDIR_TPU_AKGM_FORM')
+    if forced:
+        return _FORMS[forced](h, att_sp, kernel, bias, nset)
     C = h.shape[-1]
     if C >= split_channels and h.dtype == jnp.bfloat16:
         return akgm_mix_smallconvs(h, att_sp, kernel, bias, nset)
@@ -122,3 +174,8 @@ def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
         warnings.warn('pallas Element block dims unavailable in this jax; '
                       'falling back to the XLA densified AKGM', stacklevel=2)
     return akgm_mix_densified(h, att_sp, kernel, bias, nset)
+
+
+_FORMS.update(reference=akgm_mix_reference, densified=akgm_mix_densified,
+              smallconvs=akgm_mix_smallconvs, batchgroup=akgm_mix_batchgroup,
+              patches=akgm_mix_patches)
