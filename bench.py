@@ -69,7 +69,7 @@ def main():
                        'ucdir_tpu', 'configs', 'sid.yaml')
     opt = parse(cfg, phase='val', checkpoint=None, num_processes=1,
                 make_dirs=False)
-    module = define_G(opt, use_pallas=False)
+    module = define_G(opt, use_pallas=True)
     sched = make_schedule(opt['model']['beta_schedule']['val'])  # 50 steps, 0.4
 
     key = jax.random.PRNGKey(0)

@@ -109,8 +109,12 @@ def main():
                         help='steps for ddim/dpmpp (defaults: 5 / 20)')
     parser.add_argument('--compute_dtype', type=str, default=None,
                         choices=['bf16'], help='mixed-precision sampling')
-    parser.add_argument('--use_pallas', action='store_true',
-                        help="fused Pallas AKGM kernels (helps fp32; bf16 is faster via the XLA dispatch)")
+    parser.add_argument('--use_pallas', action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help='fused Pallas AKGM kernels where measured faster '
+                             '(auto-disabled off-TPU and at channel widths '
+                             'where the XLA dispatch wins; --no-use_pallas '
+                             'forces the pure-XLA path)')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
     parser.add_argument('--platform', type=str, default=None,

@@ -166,6 +166,28 @@ def test_akgm_true_flop_forms_match_grouped(rng, form):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_guide_maps_hoisting_matches_direct(rng):
+    """Precomputed guide-attention maps (sampler hoist) == in-block branch."""
+    from ucdir_tpu.models.dy3h import compute_guide_maps
+    m = DY3h(in_channel=6, out_channel=3, inner_channel=8,
+             channel_mults=(1, 2), attn_res=(), res_blocks=1,
+             norm_groups=1, image_size=32)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 6)), jnp.float32)
+    nl = jnp.full((1, 1), 0.5, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    v = m.init({'params': key, 'dropout': key}, x, nl, g)
+    direct = m.apply(v, x, nl, g, method='naiveforward')
+    maps = compute_guide_maps(m, v['params'], g)
+    assert set(maps) == {n for n, _ in m.guide_block_scales()}
+    assert len(maps) == 8  # 1 down + mid 2 + 2 ups per scale, 2 scales
+    # guide is ignored when maps are supplied — pass zeros to prove it
+    hoisted = m.apply(v, x, nl, jnp.zeros_like(g), method='naiveforward',
+                      guide_maps=maps)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_attention_matches_full(rng):
     """flash-style path vs dense softmax attention on the same weights."""
     import ucdir_tpu.models.attention as attn_mod

@@ -8,7 +8,7 @@ key = jax.random.PRNGKey(0)
 dt = jnp.bfloat16
 N = 10
 
-def bench(name, m, size=640, in_ch=6):
+def bench(name, m, size=1024, in_ch=6):
     xin = jax.random.normal(key, (1, size, size, in_ch), dt)
     nl = jnp.full((1, 1), 0.5, dt)
     gd = jax.random.normal(key, (1, size, size, 3), dt)

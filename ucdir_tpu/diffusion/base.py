@@ -66,14 +66,16 @@ class GaussianDiffusion(nn.Module):
         g = continuous_sqrt_alpha_cumprod
         return g * x_start + jnp.sqrt(1 - g ** 2) * noise
 
-    def denoise(self, x, noise_level, guide=None, deterministic: bool = True):
+    def denoise(self, x, noise_level, guide=None, deterministic: bool = True,
+                guide_maps=None):
         if guide is None:
             # non-guided nets still need a placeholder for the AKGM resname;
             # base GaussianDiffusion is used with resname='ResnetBlock' where
             # guide is ignored, so feed the input itself.
             guide = x[..., :3]
         return self.denoise_fn(x, noise_level, guide,
-                               deterministic=deterministic)
+                               deterministic=deterministic,
+                               guide_maps=guide_maps)
 
     def predict_init(self, x):
         if not self.has_predictor:

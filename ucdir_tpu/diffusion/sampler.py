@@ -187,6 +187,21 @@ def unconditional_sample(module, variables, sched: NoiseSchedule, shape,
                          conditional=False)
 
 
+def _hoisted_guide_maps(module, variables, guide_net):
+    """Guide-attention maps precomputed once per reverse process (the guide is
+    step-invariant; the torch reference re-runs the guide convs every step,
+    ucdir.py:122-131). None when the denoiser has no AKGM guide branch."""
+    if guide_net is None:
+        return None
+    if getattr(module.denoise_fn, 'resname', None) != 'ResnetBlockDY3h':
+        return None
+    from ucdir_tpu.models.dy3h import compute_guide_maps
+    from ucdir_tpu.models.layers import pad_to_multiple
+    gp, _ = pad_to_multiple(guide_net, 32)   # match DY3h.__call__'s padding
+    return compute_guide_maps(module.denoise_fn,
+                              variables['params']['denoise_fn'], gp)
+
+
 def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
                      key: jax.Array, continous: bool = False,
                      sampler: str = 'ddpm', sampling_timesteps: int = 5,
@@ -248,12 +263,15 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
             return tiled(img.astype(net_dtype),
                          noise_level.astype(net_dtype)).astype(img.dtype)
     else:
+        gmaps = _hoisted_guide_maps(module, variables, guide_net)
+
         def denoise(img, noise_level):
             net_in = jnp.concatenate([x_in_net, img.astype(net_dtype)],
                                      axis=-1)
             return module.apply(variables, net_in,
                                 noise_level.astype(net_dtype), guide_net,
-                                method='denoise').astype(img.dtype)
+                                method='denoise',
+                                guide_maps=gmaps).astype(img.dtype)
 
     if sampler == 'ddpm':
         out = p_sample_loop(denoise, x_in, sched, key, continous=continous)

@@ -35,7 +35,8 @@ class ResnetBlockDY3h(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, time_emb, guide, deterministic: bool = True):
+    def __call__(self, x, time_emb, guide, deterministic: bool = True,
+                 g_maps=None):
         b, H, W, c = x.shape
         nset = self.nset
 
@@ -49,14 +50,22 @@ class ResnetBlockDY3h(nn.Module):
         h = swish(h)
         h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm2')(h)
 
-        # spatial attention maps from the (resized) guide image
-        if guide.shape[1] != H or guide.shape[2] != W:
-            guide = jax.image.resize(
-                guide, (guide.shape[0], H, W, guide.shape[-1]),
-                method='bilinear', antialias=False)
-        g = nn.Conv(nset * 2, (1, 1), name='conv2_0')(guide)
-        g = simple_gate(g)
-        g = nn.Conv(nset, (3, 3), padding=1, name='conv2_2')(g)
+        # spatial attention maps from the (resized) guide image. The guide is
+        # constant across a whole reverse process, so samplers precompute
+        # these maps ONCE per image/tile (`g_maps`, dy3h.compute_guide_maps)
+        # instead of re-running the convs all T steps — only the per-step
+        # noise-level mix `attw` varies. (The torch reference recomputes them
+        # every step, ucdir.py:122-131.)
+        if g_maps is None:
+            if guide.shape[1] != H or guide.shape[2] != W:
+                guide = jax.image.resize(
+                    guide, (guide.shape[0], H, W, guide.shape[-1]),
+                    method='bilinear', antialias=False)
+            g = nn.Conv(nset * 2, (1, 1), name='conv2_0')(guide)
+            g = simple_gate(g)
+            g = nn.Conv(nset, (3, 3), padding=1, name='conv2_2')(g)
+        else:
+            g = g_maps
         att_sp = g * attw[:, None, None, :]  # (b, H, W, nset)
 
         # grouped candidate banks + per-pixel mix (fused op)

@@ -165,6 +165,14 @@ def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
     C = h.shape[-1]
     if C >= split_channels and h.dtype == jnp.bfloat16:
         return akgm_mix_smallconvs(h, att_sp, kernel, bias, nset)
+    # r2 in-model A/B at tile size (1024^2 bf16, tools/inmodel_pallas_ab.py):
+    # pallas wins at C=128 (block 10.0 vs 12.3 ms) but not at C=64 (25.7 vs
+    # 24.8 — XLA fuses the mix epilogue into the densified conv there).
+    if (h.dtype == jnp.bfloat16 and C != 128
+            and os.environ.get('UCDIR_TPU_PALLAS_ALL') != '1'):
+        use_pallas = False
+    if use_pallas and jax.devices()[0].platform != 'tpu':
+        use_pallas = False   # Mosaic kernels need real TPU (CPU tests/dryrun)
     kd_bytes = 9 * C * C * nset * h.dtype.itemsize
     if use_pallas and kd_bytes <= _PALLAS_WEIGHT_BUDGET_BYTES:
         from ucdir_tpu.ops import akgm_pallas

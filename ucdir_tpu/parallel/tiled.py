@@ -49,6 +49,29 @@ def compute_tile_starts(H: int, W: int, skip: int, padding: int
     return starts
 
 
+def _grid_pad(h: int, w: int, skip: int, padding: int) -> int:
+    """Reflect pre-pad width (pd adjusts when the image is barely larger than
+    a tile, util.py:114-115)."""
+    pd = min(h, w)
+    return skip - pd + padding if pd < skip else padding
+
+
+def _extract_tiles(x_padded: jax.Array, starts, skip: int) -> jax.Array:
+    """Static-slice tile gather: (T, b, skip, skip, C)."""
+    return jnp.stack([x_padded[:, hs:hs + skip, ws:ws + skip, :]
+                      for hs, ws in starts])
+
+
+def _reassemble(out_tiles, starts, b, H, W, padding, pd):
+    """Sequential reassembly in reference write order (later tiles overwrite)."""
+    denoised = jnp.zeros((b, H, W, out_tiles.shape[-1]), out_tiles.dtype)
+    for t, (hs, ws) in enumerate(starts):
+        center = out_tiles[t, :, padding:-padding, padding:-padding, :]
+        denoised = jax.lax.dynamic_update_slice(
+            denoised, center, (0, hs + padding, ws + padding, 0))
+    return denoised[:, pd:-pd, pd:-pd, :]
+
+
 def patch_forward_guide(fn: Callable, noisy: jax.Array, guide: jax.Array,
                         skip: int = 1024, padding: int = 64,
                         out_channels: int = 3,
@@ -63,8 +86,7 @@ def patch_forward_guide(fn: Callable, noisy: jax.Array, guide: jax.Array,
         the axis size); None = single-chip sequential chunks.
     """
     b, h, w, c = noisy.shape
-    pd = min(h, w)
-    pd = skip - pd + padding if pd < skip else padding
+    pd = _grid_pad(h, w, skip, padding)
 
     noisy = jnp.pad(noisy, ((0, 0), (pd, pd), (pd, pd), (0, 0)), mode='reflect')
     guide_pad = jnp.pad(guide, ((0, 0), (pd, pd), (pd, pd), (0, 0)),
@@ -76,11 +98,8 @@ def patch_forward_guide(fn: Callable, noisy: jax.Array, guide: jax.Array,
     n_pad = (-n_tiles) % tile_chunk
     starts_padded = starts + [starts[-1]] * n_pad  # dummies recompute last tile
 
-    # gather all tiles with static slices: (T, b, skip, skip, C)
-    tiles = jnp.stack([noisy[:, hs:hs + skip, ws:ws + skip, :]
-                       for hs, ws in starts_padded])
-    gtiles = jnp.stack([guide_pad[:, hs:hs + skip, ws:ws + skip, :]
-                        for hs, ws in starts_padded])
+    tiles = _extract_tiles(noisy, starts_padded, skip)
+    gtiles = _extract_tiles(guide_pad, starts_padded, skip)
 
     T = tiles.shape[0]
     n_chunks = T // tile_chunk
@@ -98,37 +117,86 @@ def patch_forward_guide(fn: Callable, noisy: jax.Array, guide: jax.Array,
 
     out_tiles = jax.lax.map(run_chunk, (tiles, gtiles))
     out_tiles = out_tiles.reshape(T, b, skip, skip, out_channels)
-
-    # sequential reassembly in reference write order (later tiles overwrite)
-    denoised = jnp.zeros((b, H, W, out_channels), out_tiles.dtype)
-    inner = skip - 2 * padding
-    for t, (hs, ws) in enumerate(starts):
-        center = out_tiles[t, :, padding:-padding, padding:-padding, :]
-        denoised = jax.lax.dynamic_update_slice(
-            denoised, center, (0, hs + padding, ws + padding, 0))
-    return denoised[:, pd:-pd, pd:-pd, :]
+    return _reassemble(out_tiles, starts, b, H, W, padding, pd)
 
 
 def tiled_denoise_fn(denoiser, params, x_cond: jax.Array, guide: jax.Array,
                      skip: int = 1024, padding: int = 64,
                      tile_chunk: int = 1,
-                     data_axis: Optional[str] = None) -> Callable:
+                     data_axis: Optional[str] = None,
+                     hoist_guide: bool = True) -> Callable:
     """Builds a `denoise(img, noise_level) -> eps` closure whose UNet
     evaluation is tiled — a drop-in for the sampler loops in
     ucdir_tpu.diffusion.sampler (the >1024^2 branch of ucdir.py:295-300).
 
     denoiser: the DY3h module; params: its params subtree.
-    """
-    def denoise(img, noise_level):
-        net_in = jnp.concatenate([x_cond, img], axis=-1)
 
-        def fn(tiles, gtiles):
-            k = tiles.shape[0]
-            nl = jnp.broadcast_to(noise_level[:1], (k, noise_level.shape[1]))
-            return denoiser.apply({'params': params}, tiles, nl, gtiles,
+    Reverse-process-invariant work is hoisted out of the returned closure so
+    the sampling scan never repeats it: the condition/guide tile gathers run
+    once, and (hoist_guide, AKGM denoisers) every tile's guide-attention maps
+    are precomputed once via compute_guide_maps — the torch reference re-runs
+    the guide convs inside every one of the T steps (ucdir.py:122-131).
+    """
+    b, h, w, c = x_cond.shape
+    pd = _grid_pad(h, w, skip, padding)
+    xc_pad = jnp.pad(x_cond, ((0, 0), (pd, pd), (pd, pd), (0, 0)),
+                     mode='reflect')
+    g_pad = jnp.pad(guide, ((0, 0), (pd, pd), (pd, pd), (0, 0)),
+                    mode='reflect')
+    H, W = xc_pad.shape[1], xc_pad.shape[2]
+
+    starts = compute_tile_starts(H, W, skip, padding)
+    n_pad = (-len(starts)) % tile_chunk
+    starts_padded = starts + [starts[-1]] * n_pad
+    T = len(starts_padded)
+    n_chunks = T // tile_chunk
+    k = tile_chunk * b
+
+    xc_tiles = _extract_tiles(xc_pad, starts_padded, skip)
+    xc_tiles = xc_tiles.reshape(n_chunks, k, skip, skip, c)
+    g_tiles = _extract_tiles(g_pad, starts_padded, skip)
+    g_tiles = g_tiles.reshape(n_chunks, k, skip, skip, guide.shape[-1])
+
+    maps = None
+    if hoist_guide and getattr(denoiser, 'resname', None) == 'ResnetBlockDY3h':
+        from ucdir_tpu.models.dy3h import compute_guide_maps
+        # chunk-wise map computation bounds peak memory; result pytree
+        # {block: (n_chunks, k, hs, ws, nset)} rides lax.map as xs below
+        maps = jax.lax.map(
+            lambda g1: compute_guide_maps(denoiser, params, g1), g_tiles)
+        g_xs = None
+    else:
+        g_xs = g_tiles
+
+    def denoise(img, noise_level):
+        img_pad = jnp.pad(img, ((0, 0), (pd, pd), (pd, pd), (0, 0)),
+                          mode='reflect')
+        im_tiles = _extract_tiles(img_pad, starts_padded, skip)
+        im_tiles = im_tiles.reshape(n_chunks, k, skip, skip, img.shape[-1])
+
+        def run_chunk(args):
+            xc_c, im_c, g_c, m_c = args
+            net = jnp.concatenate([xc_c, im_c], axis=-1)
+            if data_axis is not None:
+                spec = jax.sharding.PartitionSpec(data_axis)
+                net = jax.lax.with_sharding_constraint(net, spec)
+                if g_c is not None:
+                    g_c = jax.lax.with_sharding_constraint(g_c, spec)
+                if m_c is not None:
+                    m_c = jax.tree_util.tree_map(
+                        lambda a: jax.lax.with_sharding_constraint(a, spec),
+                        m_c)
+            nl = jnp.broadcast_to(noise_level[:1], (net.shape[0],
+                                                    noise_level.shape[1]))
+            if m_c is not None:
+                return denoiser.apply({'params': params}, net, nl,
+                                      net[..., :guide.shape[-1]],
+                                      method='naiveforward', guide_maps=m_c)
+            return denoiser.apply({'params': params}, net, nl, g_c,
                                   method='naiveforward')
 
-        return patch_forward_guide(fn, net_in, guide, skip=skip,
-                                   padding=padding, tile_chunk=tile_chunk,
-                                   data_axis=data_axis)
+        out_tiles = jax.lax.map(run_chunk, (xc_tiles, im_tiles, g_xs, maps))
+        out_tiles = out_tiles.reshape(T, b, skip, skip, out_tiles.shape[-1])
+        return _reassemble(out_tiles, starts, b, H, W, padding, pd)
+
     return denoise

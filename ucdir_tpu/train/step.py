@@ -236,12 +236,15 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
                 return tiled(im.astype(net_dtype),
                              nl.astype(net_dtype)).astype(im.dtype)
         else:
+            from ucdir_tpu.diffusion.sampler import _hoisted_guide_maps
+            gmaps = _hoisted_guide_maps(module, net_vars, guide_net)
+
             def denoise(im, nl):
                 net_in = jnp.concatenate([x_net, im.astype(net_dtype)],
                                          axis=-1)
                 return module.apply(net_vars, net_in, nl.astype(net_dtype),
-                                    guide_net,
-                                    method='denoise').astype(im.dtype)
+                                    guide_net, method='denoise',
+                                    guide_maps=gmaps).astype(im.dtype)
         return ddpm_scan_segment(denoise, sched, img, key, buf, ts, slots)
 
     prep_j = jax.jit(prep)
