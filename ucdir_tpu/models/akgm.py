@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ucdir_tpu.models.layers import swish, simple_gate
-from ucdir_tpu.ops.akgm import akgm_mix
+from ucdir_tpu.models.layers import swish, simple_gate, PallasConv3
+from ucdir_tpu.ops.akgm import akgm_block_tail
 
 
 class ResnetBlockDY3h(nn.Module):
@@ -46,8 +46,8 @@ class ResnetBlockDY3h(nn.Module):
         attw = nn.Dense(nset, name='noise_func_2')(attw)  # (b, nset)
 
         h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm1')(x)
-        h = nn.Conv(self.dim_out, (3, 3), padding=1, name='conv1')(h)
-        h = swish(h)
+        h = PallasConv3(self.dim_out, act='swish', use_pallas=self.use_pallas,
+                        name='conv1')(h)
         h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm2')(h)
 
         # spatial attention maps from the (resized) guide image. The guide is
@@ -68,18 +68,16 @@ class ResnetBlockDY3h(nn.Module):
             g = g_maps
         att_sp = g * attw[:, None, None, :]  # (b, H, W, nset)
 
-        # grouped candidate banks + per-pixel mix (fused op)
+        # grouped candidate banks + per-pixel mix + swish + residual, as one
+        # fused op (Pallas on TPU; XLA composition elsewhere)
         spdy_kernel = self.param(
             'spdyconv_kernel', nn.initializers.lecun_normal(),
             (3, 3, self.dim_out // nset, self.dim_out * nset))
         spdy_bias = self.param('spdyconv_bias', nn.initializers.zeros,
                                (self.dim_out * nset,))
-        h = akgm_mix(h, att_sp, spdy_kernel, spdy_bias, nset,
-                     use_pallas=self.use_pallas)
-
-        h = swish(h)
         if self.dim != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x)
         else:
             res = x
-        return h + res
+        return akgm_block_tail(h, att_sp, spdy_kernel, spdy_bias, res, nset,
+                               use_pallas=self.use_pallas)

@@ -177,7 +177,7 @@ class DY3h(nn.Module):
                     name=name)(jnp.concatenate([x, feats.pop()], axis=-1), t,
                                guide, deterministic, gm.get(name))
             else:
-                x = Upsample(dim_out, name=name)(x)
+                x = Upsample(dim_out, use_pallas=self.use_pallas, name=name)(x)
 
         # final head: GN -> Swish -> Dropout -> Conv3 (ucdir.py:266-268)
         x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='final_conv_norm')(x)

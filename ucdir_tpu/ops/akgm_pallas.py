@@ -122,3 +122,125 @@ def _bwd(nset, residuals, g):
 
 
 akgm_mix_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: fused block tail — swish(mix(grouped_conv(h), att)) + res in ONE kernel.
+#
+# Faster than v1 on two axes (measured, tools/akgm_variants2.py + traces):
+#   * ONE (W, 9C) @ (9C, CG) dot per row instead of nine K=C dots — K=C=64
+#     caps the MXU at 50%; the lane-concat of the 9 shifted slices is a few
+#     hundred VREG ops (~0.3 ms/1024 rows), the dot gains ~2x.
+#   * the epilogue (attention mix, swish, residual add) runs on the VMEM
+#     accumulator — the XLA path round-trips 3 full tensors through HBM and
+#     pays relayout copies around the conv (~25% of integrated step time was
+#     'data formatting', tools/trace_ops.py).
+# ---------------------------------------------------------------------------
+
+
+def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
+                       out_ref, scratch_ref, *, C, G, W, R):
+    # R output rows per program: the kernel is DMA-issue-bound at R=1
+    # (measured 4.9 ms for DMA alone vs 0.7 ms of HBM bytes at 1024^2/C=64 —
+    # ~5 us per-program overhead x 1024 programs); batching rows amortizes it
+    # and shrinks the halo re-fetch ratio from 3x to (R+2)/R.
+    for r in range(R):
+        # im2col row via VMEM scratch (stores normalize the vreg offsets of
+        # the shifted slices; Mosaic rejects a direct mixed-offset concat),
+        # then ONE (W, 9C) @ (9C, CG) dot — K=9C keeps the MXU full where
+        # per-tap K=C dots cap it at C/128.
+        for t, (ty, tx) in enumerate(
+                [(y, x) for y in range(3) for x in range(3)]):
+            scratch_ref[:, t * C:(t + 1) * C] = h_ref[0, r + ty, tx:tx + W, :]
+        acc = jnp.dot(scratch_ref[...], kd_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, CG)
+        acc = acc + bias_ref[0]
+        att = att_ref[0, r]                                 # (W, G)
+        att_exp = jnp.tile(att, (1, C))                     # lane o -> att[o%G]
+        # candidates back to the compute dtype for the selection matmul (the
+        # XLA reference mixes with preferred_element_type=h.dtype too).
+        mixed = (acc.astype(att_exp.dtype) * att_exp)
+        out = jnp.dot(mixed, sel_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, C)
+        out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
+        out_ref[0, r] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def akgm_block_pallas(h, att_sp, kernel, bias, res, nset: int):
+    """swish(akgm_mix(h, att_sp, kernel, bias)) + res, fused on TPU."""
+    return _akgm_block_forward(h, att_sp, kernel, bias, res, nset)
+
+
+def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
+                        rows_per_block: int = 0):
+    B, H, W, C = h.shape
+    G = nset
+    if not rows_per_block:
+        # measured at 1024^2/C=64 bf16: R=4 7.54 ms, R=1 7.79, R>=8 worse
+        # (bigger blocks raise vmem stack pressure; DMA issue overhead is
+        # not the limiter — see CLAUDE.md round-2 notes)
+        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+    R = rows_per_block
+    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
+    kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)          # k = tap*C + i
+    bias2 = bias.reshape(1, C * G)
+    sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
+
+    grid = (B, H // R)
+    flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
+    return pl.pallas_call(
+        functools.partial(_akgm_block_kernel, C=C, G=G, W=W, R=R),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W + 2),
+                          _Element(C)),
+                         lambda b, y: (b, y * R, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C * G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * G, C), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype)],
+        # the (W, CG) f32 accumulator lives on the vector stack; inside a big
+        # XLA program the default pallas vmem budget OOMs ("Ran out of memory
+        # in memory space vmem while allocating on stack") — raise it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
+            transcendentals=B * H * W * C),
+    )(hp, att_sp, kd2, bias2, sel, res)
+
+
+def _block_ref(h, att_sp, kernel, bias, res, nset):
+    y = akgm_mix_reference(h, att_sp, kernel, bias, nset)
+    return y * jax.nn.sigmoid(y) + res
+
+
+def _block_fwd(h, att_sp, kernel, bias, res, nset):
+    out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset)
+    return out, (h, att_sp, kernel, bias, res)
+
+
+def _block_bwd(nset, residuals, g):
+    h, att_sp, kernel, bias, res = residuals
+    _, vjp = jax.vjp(
+        lambda h, a, k, b, r: _block_ref(h, a, k, b, r, nset),
+        h, att_sp, kernel, bias, res)
+    return vjp(g)
+
+
+akgm_block_pallas.defvjp(_block_fwd, _block_bwd)
