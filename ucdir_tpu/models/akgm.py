@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ucdir_tpu.models.layers import swish, simple_gate, PallasConv3
+from ucdir_tpu.models.layers import swish, simple_gate, PallasConv3, PallasConv1
 from ucdir_tpu.ops.akgm import akgm_block_tail
 
 
@@ -45,10 +45,26 @@ class ResnetBlockDY3h(nn.Module):
         attw = swish(attw)
         attw = nn.Dense(nset, name='noise_func_2')(attw)  # (b, nset)
 
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm1')(x)
-        h = PallasConv3(self.dim_out, act='swish', use_pallas=self.use_pallas,
-                        name='conv1')(h)
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name='norm2')(h)
+        # norm_groups == 1 (the shipped configs): GroupNorm(1) is a per-batch
+        # scalar-stats affine, so the normalize FOLDS into the following
+        # fused conv/mix kernels (x*a + t with a,t per (batch, channel)) —
+        # the normalized tensor never materializes in HBM. Other group counts
+        # keep the standard module.
+        if self.norm_groups == 1:
+            a1, t1 = _norm1_affine(x, *_NormParams(c, name='norm1')())
+            h = PallasConv3(self.dim_out, act='swish',
+                            use_pallas=self.use_pallas,
+                            name='conv1')(x, norm_scale=a1, norm_shift=t1)
+            a2, t2 = _norm1_affine(
+                h, *_NormParams(self.dim_out, name='norm2')())
+        else:
+            h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                             name='norm1')(x)
+            h = PallasConv3(self.dim_out, act='swish',
+                            use_pallas=self.use_pallas, name='conv1')(h)
+            h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                             name='norm2')(h)
+            a2 = t2 = None
 
         # spatial attention maps from the (resized) guide image. The guide is
         # constant across a whole reverse process, so samplers precompute
@@ -76,8 +92,35 @@ class ResnetBlockDY3h(nn.Module):
         spdy_bias = self.param('spdyconv_bias', nn.initializers.zeros,
                                (self.dim_out * nset,))
         if self.dim != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), name='res_conv')(x)
+            res = PallasConv1(self.dim_out, use_pallas=self.use_pallas,
+                              name='res_conv')(x)
         else:
             res = x
         return akgm_block_tail(h, att_sp, spdy_kernel, spdy_bias, res, nset,
-                               use_pallas=self.use_pallas)
+                               use_pallas=self.use_pallas,
+                               norm_scale=a2, norm_shift=t2)
+
+
+class _NormParams(nn.Module):
+    """GroupNorm's parameter tree (scale/bias) without its computation — the
+    normalize itself is folded into the following fused kernel."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def _norm1_affine(x, scale, bias, eps: float = 1e-5):
+    """GroupNorm(num_groups=1) as a per-(batch, channel) affine: returns
+    (a, t) with norm(x) == x*a + t (stats over H, W, C in f32)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3))
+    var = jnp.mean(jnp.square(xf), axis=(1, 2, 3)) - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)                       # (B,)
+    a = scale[None, :].astype(jnp.float32) * rstd[:, None]
+    t = (bias[None, :].astype(jnp.float32)
+         - mean[:, None] * rstd[:, None] * scale[None, :].astype(jnp.float32))
+    return a.astype(x.dtype), t.astype(x.dtype)

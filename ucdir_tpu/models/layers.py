@@ -104,12 +104,30 @@ class PallasConv3(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, norm_scale=None, norm_shift=None):
         from ucdir_tpu.ops.conv_pallas import conv3x3
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         return conv3x3(x, kernel, bias, act=self.act,
+                       use_pallas=self.use_pallas,
+                       norm_scale=norm_scale, norm_shift=norm_shift)
+
+
+class PallasConv1(nn.Module):
+    """Drop-in 1x1 conv (param tree identical to nn.Conv) with the Pallas
+    per-pixel-matmul path at the big scales (ops/conv_pallas.conv1x1)."""
+    features: int
+    act: Optional[str] = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ucdir_tpu.ops.conv_pallas import conv1x1
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        return conv1x1(x, kernel, bias, act=self.act,
                        use_pallas=self.use_pallas)
 
 

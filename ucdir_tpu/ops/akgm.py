@@ -190,7 +190,8 @@ _FORMS.update(reference=akgm_mix_reference, densified=akgm_mix_densified,
 
 
 def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
-                    use_pallas: bool = False, split_channels: int = 256):
+                    use_pallas: bool = False, split_channels: int = 256,
+                    norm_scale=None, norm_shift=None):
     """The AKGM block tail `swish(akgm_mix(h, att)) + res` as ONE op.
 
     On TPU with `use_pallas` this runs the fused Pallas kernel
@@ -210,7 +211,10 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
         from ucdir_tpu.ops import akgm_pallas
         if akgm_pallas.HAS_ELEMENT:
             return akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
-                                                 res, nset)
+                                                 res, nset, norm_scale,
+                                                 norm_shift)
+    if norm_scale is not None:
+        h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
     y = akgm_mix(h, att_sp, kernel, bias, nset, use_pallas=use_pallas,
                  split_channels=split_channels)
     return y * jax.nn.sigmoid(y) + res

@@ -139,7 +139,11 @@ akgm_mix_pallas.defvjp(_fwd, _bwd)
 
 
 def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
-                       out_ref, scratch_ref, *, C, G, W, R):
+                       *rest, C, G, W, R, fold=False):
+    if fold:
+        a_ref, out_ref, scratch_ref = rest
+    else:
+        out_ref, scratch_ref = rest
     # R output rows per program: the kernel is DMA-issue-bound at R=1
     # (measured 4.9 ms for DMA alone vs 0.7 ms of HBM bytes at 1024^2/C=64 —
     # ~5 us per-program overhead x 1024 programs); batching rows amortizes it
@@ -151,7 +155,10 @@ def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
         # per-tap K=C dots cap it at C/128.
         for t, (ty, tx) in enumerate(
                 [(y, x) for y in range(3) for x in range(3)]):
-            scratch_ref[:, t * C:(t + 1) * C] = h_ref[0, r + ty, tx:tx + W, :]
+            piece = h_ref[0, r + ty, tx:tx + W, :]
+            if fold:
+                piece = piece * a_ref[0]
+            scratch_ref[:, t * C:(t + 1) * C] = piece
         acc = jnp.dot(scratch_ref[...], kd_ref[...],
                       preferred_element_type=jnp.float32)   # (W, CG)
         acc = acc + bias_ref[0]
@@ -167,12 +174,18 @@ def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def akgm_block_pallas(h, att_sp, kernel, bias, res, nset: int):
-    """swish(akgm_mix(h, att_sp, kernel, bias)) + res, fused on TPU."""
-    return _akgm_block_forward(h, att_sp, kernel, bias, res, nset)
+def akgm_block_pallas(h, att_sp, kernel, bias, res, nset: int,
+                      norm_scale=None, norm_shift=None):
+    """swish(akgm_mix(h*, att_sp, kernel, bias)) + res, fused on TPU.
+    norm_scale/norm_shift (B, C): optional folded input-side affine
+    (a GroupNorm(1) normalize) — `h* = h*scale + shift`, with the shift
+    folded into the bias outside the kernel."""
+    return _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
+                               norm_scale, norm_shift)
 
 
 def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
+                        norm_scale=None, norm_shift=None,
                         rows_per_block: int = 0):
     B, H, W, C = h.shape
     G = nset
@@ -182,16 +195,34 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
         # not the limiter — see CLAUDE.md round-2 notes)
         rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
     R = rows_per_block
+    fold = norm_scale is not None
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
     kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)          # k = tap*C + i
-    bias2 = bias.reshape(1, C * G)
+    if fold:
+        # SAME padding must hold normalized zeros (see conv_pallas._ring)
+        from ucdir_tpu.ops.conv_pallas import _ring
+        hp = _ring(hp, jnp.where(jnp.abs(norm_scale) > 1e-12,
+                                 -norm_shift / norm_scale, 0.).astype(h.dtype))
+        bias2 = (bias[None, :]
+                 + jnp.tile(norm_shift.astype(jnp.float32), (1, 9))
+                 @ kd2.astype(jnp.float32)).astype(h.dtype)  # (B, CG)
+        extra = [norm_scale.astype(h.dtype)]
+        extra_specs = [pl.BlockSpec((1, C), lambda b, y: (b, 0),
+                                    memory_space=pltpu.VMEM)]
+        b_spec = pl.BlockSpec((1, C * G), lambda b, y: (b, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        bias2 = bias.reshape(1, C * G)
+        extra, extra_specs = [], []
+        b_spec = pl.BlockSpec((1, C * G), lambda b, y: (0, 0),
+                              memory_space=pltpu.VMEM)
     sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
 
     grid = (B, H // R)
     flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
     return pl.pallas_call(
-        functools.partial(_akgm_block_kernel, C=C, G=G, W=W, R=R),
+        functools.partial(_akgm_block_kernel, C=C, G=G, W=W, R=R, fold=fold),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
         grid=grid,
         in_specs=[
@@ -203,13 +234,12 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C * G), lambda b, y: (0, 0),
-                         memory_space=pltpu.VMEM),
+            b_spec,
             pl.BlockSpec((C * G, C), lambda b, y: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype)],
@@ -222,24 +252,33 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             flops=flops,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
             transcendentals=B * H * W * C),
-    )(hp, att_sp, kd2, bias2, sel, res)
+    )(hp, att_sp, kd2, bias2, sel, res, *extra)
 
 
-def _block_ref(h, att_sp, kernel, bias, res, nset):
+def _block_ref(h, att_sp, kernel, bias, res, nset, norm_scale=None,
+               norm_shift=None):
+    if norm_scale is not None:
+        h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
     y = akgm_mix_reference(h, att_sp, kernel, bias, nset)
     return y * jax.nn.sigmoid(y) + res
 
 
-def _block_fwd(h, att_sp, kernel, bias, res, nset):
-    out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset)
-    return out, (h, att_sp, kernel, bias, res)
+def _block_fwd(h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift):
+    out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
+                              norm_scale, norm_shift)
+    return out, (h, att_sp, kernel, bias, res, norm_scale, norm_shift)
 
 
 def _block_bwd(nset, residuals, g):
-    h, att_sp, kernel, bias, res = residuals
+    h, att_sp, kernel, bias, res, ns, nt = residuals
+    if ns is None:
+        _, vjp = jax.vjp(
+            lambda h, a, k, b, r: _block_ref(h, a, k, b, r, nset),
+            h, att_sp, kernel, bias, res)
+        return vjp(g) + (None, None)
     _, vjp = jax.vjp(
-        lambda h, a, k, b, r: _block_ref(h, a, k, b, r, nset),
-        h, att_sp, kernel, bias, res)
+        lambda h, a, k, b, r, s, t: _block_ref(h, a, k, b, r, nset, s, t),
+        h, att_sp, kernel, bias, res, ns, nt)
     return vjp(g)
 
 
