@@ -234,9 +234,10 @@ def conv1x1(x, kernel, bias, act=None, use_pallas=False):
     """Dispatching 1x1 conv: Pallas on TPU at the big scales, einsum XLA else."""
     import os
     B, H, W, Cin = x.shape
+    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
     ok = (use_pallas and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
-          and min(H, W) >= 384 and W <= _MAX_WIDTH
+          and min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 512 and kernel.shape[-1] <= 512)
     if ok:
         return conv1x1_pallas(x, kernel, bias, act)
@@ -257,10 +258,11 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
     import os
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
+    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
-          and min(H, W) >= 384 and W <= _MAX_WIDTH
+          and min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 512 and Cout <= 512
           and W * 9 * Cin * x.dtype.itemsize <= 8 * 1024 * 1024)
     if ok:
