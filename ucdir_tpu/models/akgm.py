@@ -82,7 +82,8 @@ class ResnetBlockDY3h(nn.Module):
             g = nn.Conv(nset, (3, 3), padding=1, name='conv2_2')(g)
         else:
             g = g_maps
-        att_sp = g * attw[:, None, None, :]  # (b, H, W, nset)
+        # attw multiplies in-kernel on the fused path (per-step elementwise
+        # pass over a 16x lane-padded (b,H,W,8) buffer otherwise)
 
         # grouped candidate banks + per-pixel mix + swish + residual, as one
         # fused op (Pallas on TPU; XLA composition elsewhere)
@@ -96,9 +97,9 @@ class ResnetBlockDY3h(nn.Module):
                               name='res_conv')(x)
         else:
             res = x
-        return akgm_block_tail(h, att_sp, spdy_kernel, spdy_bias, res, nset,
+        return akgm_block_tail(h, g, spdy_kernel, spdy_bias, res, nset,
                                use_pallas=self.use_pallas,
-                               norm_scale=a2, norm_shift=t2)
+                               norm_scale=a2, norm_shift=t2, attw=attw)
 
 
 class _NormParams(nn.Module):

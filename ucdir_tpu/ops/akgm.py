@@ -191,7 +191,7 @@ _FORMS.update(reference=akgm_mix_reference, densified=akgm_mix_densified,
 
 def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
                     use_pallas: bool = False, split_channels: int = 256,
-                    norm_scale=None, norm_shift=None):
+                    norm_scale=None, norm_shift=None, attw=None):
     """The AKGM block tail `swish(akgm_mix(h, att)) + res` as ONE op.
 
     On TPU with `use_pallas` this runs the fused Pallas kernel
@@ -215,9 +215,11 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
         if akgm_pallas.HAS_ELEMENT:
             return akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
                                                  res, nset, norm_scale,
-                                                 norm_shift)
+                                                 norm_shift, attw)
     if norm_scale is not None:
         h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
+    if attw is not None:
+        att_sp = att_sp * attw[:, None, None, :]
     y = akgm_mix(h, att_sp, kernel, bias, nset, use_pallas=use_pallas,
                  split_channels=split_channels)
     return y * jax.nn.sigmoid(y) + res

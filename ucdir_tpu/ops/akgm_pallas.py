@@ -138,8 +138,8 @@ akgm_mix_pallas.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
-                       *rest, C, G, W, R, fold=False):
+def _akgm_block_kernel(h_ref, att_ref, aw_ref, kd_ref, bias_ref, sel_ref,
+                       res_ref, *rest, C, G, W, R, fold=False):
     if fold:
         a_ref, out_ref, scratch_ref = rest
     else:
@@ -162,7 +162,7 @@ def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
         acc = jnp.dot(scratch_ref[...], kd_ref[...],
                       preferred_element_type=jnp.float32)   # (W, CG)
         acc = acc + bias_ref[0]
-        att = att_ref[0, r]                                 # (W, G)
+        att = att_ref[0, r] * aw_ref[0]                     # (W, G) * (1, G)
         att_exp = jnp.tile(att, (1, C))                     # lane o -> att[o%G]
         # candidates back to the compute dtype for the selection matmul (the
         # XLA reference mixes with preferred_element_type=h.dtype too).
@@ -175,20 +175,25 @@ def _akgm_block_kernel(h_ref, att_ref, kd_ref, bias_ref, sel_ref, res_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def akgm_block_pallas(h, att_sp, kernel, bias, res, nset: int,
-                      norm_scale=None, norm_shift=None):
-    """swish(akgm_mix(h*, att_sp, kernel, bias)) + res, fused on TPU.
+                      norm_scale=None, norm_shift=None, attw=None):
+    """swish(akgm_mix(h*, att_sp*attw, kernel, bias)) + res, fused on TPU.
     norm_scale/norm_shift (B, C): optional folded input-side affine
     (a GroupNorm(1) normalize) — `h* = h*scale + shift`, with the shift
-    folded into the bias outside the kernel."""
+    folded into the bias outside the kernel.
+    attw (B, G): optional per-batch mixing weights multiplied into the
+    attention maps IN-KERNEL — keeps the per-step (B,H,W,G) `att_sp*attw`
+    product (a 16x lane-padded elementwise pass in XLA) out of HBM."""
     return _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
-                               norm_scale, norm_shift)
+                               norm_scale, norm_shift, attw)
 
 
 def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
-                        norm_scale=None, norm_shift=None,
+                        norm_scale=None, norm_shift=None, attw=None,
                         rows_per_block: int = 0):
     B, H, W, C = h.shape
     G = nset
+    if attw is None:
+        attw = jnp.ones((B, G), h.dtype)
     if not rows_per_block:
         # measured at 1024^2/C=64 bf16: R=4 7.54 ms, R=1 7.79, R>=8 worse
         # (bigger blocks raise vmem stack pressure; DMA issue overhead is
@@ -232,6 +237,8 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda b, y: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
                          memory_space=pltpu.VMEM),
             b_spec,
@@ -252,34 +259,46 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             flops=flops,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
             transcendentals=B * H * W * C),
-    )(hp, att_sp, kd2, bias2, sel, res, *extra)
+    )(hp, att_sp, attw.astype(h.dtype), kd2, bias2, sel, res, *extra)
 
 
 def _block_ref(h, att_sp, kernel, bias, res, nset, norm_scale=None,
-               norm_shift=None):
+               norm_shift=None, attw=None):
     if norm_scale is not None:
         h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
+    if attw is not None:
+        att_sp = att_sp * attw[:, None, None, :]
     y = akgm_mix_reference(h, att_sp, kernel, bias, nset)
     return y * jax.nn.sigmoid(y) + res
 
 
-def _block_fwd(h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift):
+def _block_fwd(h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
+               attw):
     out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
-                              norm_scale, norm_shift)
-    return out, (h, att_sp, kernel, bias, res, norm_scale, norm_shift)
+                              norm_scale, norm_shift, attw)
+    return out, (h, att_sp, kernel, bias, res, norm_scale, norm_shift, attw)
 
 
 def _block_bwd(nset, residuals, g):
-    h, att_sp, kernel, bias, res, ns, nt = residuals
-    if ns is None:
-        _, vjp = jax.vjp(
-            lambda h, a, k, b, r: _block_ref(h, a, k, b, r, nset),
-            h, att_sp, kernel, bias, res)
-        return vjp(g) + (None, None)
-    _, vjp = jax.vjp(
-        lambda h, a, k, b, r, s, t: _block_ref(h, a, k, b, r, nset, s, t),
-        h, att_sp, kernel, bias, res, ns, nt)
-    return vjp(g)
+    h, att_sp, kernel, bias, res, ns, nt, aw = residuals
+    args = [h, att_sp, kernel, bias, res]
+    opt = [ns, nt, aw]
+    live = [i for i, a in enumerate(opt) if a is not None]
+
+    def ref(*xs):
+        base, rest = xs[:5], xs[5:]
+        full = [None, None, None]
+        for i, r in zip(live, rest):
+            full[i] = r
+        return _block_ref(*base, nset, *full)
+    _, vjp = jax.vjp(ref, *args, *[opt[i] for i in live])
+    grads = list(vjp(g))
+    out = grads[:5]
+    rest = grads[5:]
+    full = [None, None, None]
+    for i, r in zip(live, rest):
+        full[i] = r
+    return tuple(out) + tuple(full)
 
 
 akgm_block_pallas.defvjp(_block_fwd, _block_bwd)
