@@ -263,3 +263,42 @@ def test_inception_v3_matches_torch_oracle():
         jnp.asarray(x.permute(0, 2, 3, 1).numpy())))
     assert got.shape == want.shape == (1, 2048)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_inception_classifier_probs_matches_torch_oracle():
+    """fc head + softmax vs the torch composition (the reference IS path,
+    eval1.py:74-130): converter transposes + probs pipeline verified."""
+    from ucdir_tpu.metrics.inception import (InceptionV3Features,
+                                             convert_inception_torch)
+    torch.manual_seed(1)
+    net = TorchFIDInception()
+    for m in net.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+    fc = tnn.Linear(2048, 1000)
+    net.eval()
+
+    x = torch.rand(1, 3, 299, 299) * 2 - 1
+    with torch.no_grad():
+        want = torch.softmax(fc(net(x)), dim=-1).numpy()
+
+    sd = dict(net.state_dict())
+    sd['fc.weight'] = fc.weight
+    sd['fc.bias'] = fc.bias
+    params = convert_inception_torch(sd)
+    assert 'fc' in params
+    feat_params = {k: v for k, v in params.items() if k != 'fc'}
+
+    def probs(z):
+        feats = InceptionV3Features().apply({'params': feat_params}, z)
+        logits = feats @ params['fc']['kernel'] + params['fc']['bias']
+        return jax.nn.softmax(logits, axis=-1)
+    got = np.asarray(jax.jit(probs)(jnp.asarray(x.permute(0, 2, 3, 1).numpy())))
+    assert got.shape == (1, 1000)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    # and the IS math consumes it end-to-end
+    from ucdir_tpu.metrics.fid import inception_score
+    is_mean, is_std = inception_score(np.repeat(got, 20, axis=0), splits=2)
+    assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-5

@@ -170,6 +170,28 @@ class InceptionV3Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global avg pool -> (N, 2048)
 
 
+def inception_probs(params, images) -> np.ndarray:
+    """Softmax class probabilities (N, 1000) — the classifier head the
+    reference's inception score uses (/root/reference/eval1.py:74-130).
+
+    `params`: the convert_inception_torch tree INCLUDING 'fc' (kernel/bias
+    from torchvision's `fc.weight/bias`). Feed the result to
+    `metrics.fid.inception_score`."""
+    if 'fc' not in params:
+        raise RuntimeError('params lack the fc head — convert a full '
+                           'torchvision inception_v3 state_dict (not the '
+                           'headless pytorch-fid variant) for IS.')
+    feat_params = {k: v for k, v in params.items() if k != 'fc'}
+
+    @jax.jit
+    def fn(z):
+        feats = InceptionV3Features().apply({'params': feat_params}, z)
+        logits = feats @ params['fc']['kernel'] + params['fc']['bias']
+        return jax.nn.softmax(logits, axis=-1)
+
+    return np.asarray(fn(preprocess(images)))
+
+
 def preprocess(images: np.ndarray) -> jnp.ndarray:
     """NHWC uint8/[0,255] or [0,1] float -> 299x299 [-1,1] f32."""
     x = jnp.asarray(images, jnp.float32)
