@@ -110,11 +110,12 @@ def main():
     parser.add_argument('--compute_dtype', type=str, default=None,
                         choices=['bf16'], help='mixed-precision sampling')
     parser.add_argument('--use_pallas', action=argparse.BooleanOptionalAction,
-                        default=True,
-                        help='fused Pallas AKGM kernels where measured faster '
-                             '(auto-disabled off-TPU and at channel widths '
-                             'where the XLA dispatch wins; --no-use_pallas '
-                             'forces the pure-XLA path)')
+                        default=None,
+                        help='fused Pallas kernels where measured faster '
+                             '(auto-disabled off-TPU and at shapes where the '
+                             'XLA dispatch wins). Default: on for val '
+                             '(measured 1.5x), off for train; '
+                             '--use_pallas/--no-use_pallas force it.')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
     parser.add_argument('--platform', type=str, default=None,
@@ -216,7 +217,10 @@ def main():
                                                 world_size=world_size)
     logger.info('Initial Dataset Finished')
 
-    diffusion = Model.create_model(opt, use_pallas=args.use_pallas)
+    use_pallas = args.use_pallas
+    if use_pallas is None:
+        use_pallas = (args.phase == 'val')
+    diffusion = Model.create_model(opt, use_pallas=use_pallas)
     logger.info('Initial Model Finished')
 
     current_step = diffusion.begin_step

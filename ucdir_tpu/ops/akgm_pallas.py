@@ -204,6 +204,9 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
     kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)          # k = tap*C + i
+    # per-(batch, channel) vectors ride as (B, 1, X) with (1, 1, X) blocks:
+    # Mosaic requires the last two block dims be (8,128)-divisible or equal
+    # to the array dims — a (1, X) block over a (B, X) array fails at B>1.
     if fold:
         # SAME padding must hold normalized zeros (see conv_pallas._ring)
         from ucdir_tpu.ops.conv_pallas import _ring
@@ -212,15 +215,16 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
         bias2 = (bias[None, :]
                  + jnp.tile(norm_shift.astype(jnp.float32), (1, 9))
                  @ kd2.astype(jnp.float32)).astype(h.dtype)  # (B, CG)
-        extra = [norm_scale.astype(h.dtype)]
-        extra_specs = [pl.BlockSpec((1, C), lambda b, y: (b, 0),
+        bias2 = bias2[:, None, :]
+        extra = [norm_scale.astype(h.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, C), lambda b, y: (b, 0, 0),
                                     memory_space=pltpu.VMEM)]
-        b_spec = pl.BlockSpec((1, C * G), lambda b, y: (b, 0),
+        b_spec = pl.BlockSpec((1, 1, C * G), lambda b, y: (b, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        bias2 = bias.reshape(1, C * G)
+        bias2 = bias.reshape(1, 1, C * G)
         extra, extra_specs = [], []
-        b_spec = pl.BlockSpec((1, C * G), lambda b, y: (0, 0),
+        b_spec = pl.BlockSpec((1, 1, C * G), lambda b, y: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
 
@@ -237,7 +241,7 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), lambda b, y: (b, 0),
+            pl.BlockSpec((1, 1, G), lambda b, y: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -259,7 +263,8 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             flops=flops,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
             transcendentals=B * H * W * C),
-    )(hp, att_sp, attw.astype(h.dtype), kd2, bias2, sel, res, *extra)
+    )(hp, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
+      sel, res, *extra)
 
 
 def _block_ref(h, att_sp, kernel, bias, res, nset, norm_scale=None,

@@ -97,15 +97,18 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
         b2 = (bias[None, :]
               + jnp.tile(norm_shift.astype(jnp.float32), (1, 9))
               @ w2.astype(jnp.float32)).astype(x.dtype)    # (B, Cout)
-        extra = [norm_scale.astype(x.dtype)]
-        extra_specs = [pl.BlockSpec((1, Cin), lambda b, y: (b, 0),
+        # (B, 1, X) with (1, 1, X) blocks — a (1, X) block over (B, X)
+        # violates Mosaic's block-divisibility rule at B>1
+        b2 = b2[:, None, :]
+        extra = [norm_scale.astype(x.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, Cin), lambda b, y: (b, 0, 0),
                                     memory_space=pltpu.VMEM)]
-        b_spec = pl.BlockSpec((1, Cout), lambda b, y: (b, 0),
+        b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (b, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        b2 = bias.reshape(1, Cout)
+        b2 = bias.reshape(1, 1, Cout)
         extra, extra_specs = [], []
-        b_spec = pl.BlockSpec((1, Cout), lambda b, y: (0, 0),
+        b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
                               memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
