@@ -258,7 +258,10 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
         # XLA program the default pallas vmem budget OOMs ("Ran out of memory
         # in memory space vmem while allocating on stack") — raise it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # let XLA fuse the jnp.pad producer into the operand (kills the
+            # separate full-tensor pad materialization where it can)
+            allow_input_fusion=[True] + [False] * (6 + len(extra))),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),

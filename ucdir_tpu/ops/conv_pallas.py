@@ -129,7 +129,8 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            allow_input_fusion=[True] + [False] * (2 + len(extra))),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H * W * Cin * Cout,
             bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),
