@@ -92,6 +92,18 @@ def search_params(opt, val_loader, diffusion, Metrics, logger,
                         % (nt, le, psnr / idx))
 
 
+def _global_mean(world_size, *sums_and_count):
+    """Cross-process mean: allgather per-process [sum..., count] and reduce.
+    The reference logs only each rank's shard mean (sr.py:570-578 quirk);
+    with >1 process we log the true global mean instead."""
+    vec = np.asarray(sums_and_count, np.float64)
+    if world_size > 1:
+        from jax.experimental import multihost_utils
+        vec = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+    count = max(vec[-1], 1.0)
+    return tuple(v / count for v in vec[:-1])
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('-c', '--config', type=str,
@@ -294,7 +306,7 @@ def main():
                                 f'validation_{idx}',
                                 np.concatenate((fake_img, sr_img, hr_img),
                                                axis=1))
-                    avg_psnr = avg_psnr / idx
+                    (avg_psnr,) = _global_mean(world_size, avg_psnr, idx)
                     diffusion.set_new_noise_schedule(
                         opt['model']['beta_schedule']['train'],
                         schedule_phase='train')
@@ -320,6 +332,8 @@ def main():
                         wandb_logger.log_checkpoint(current_epoch, current_step)
             if wandb_logger:
                 wandb_logger.log_metrics({'epoch': current_epoch - 1})
+        from ucdir_tpu.utils import checkpoint as ckpt_util
+        ckpt_util.wait_for_saves()  # commit any in-flight async save
         logger.info('End of training.')
     else:
         logger.info('Begin Model Evaluation. len ' + str(len(val_loader)))
@@ -373,8 +387,7 @@ def main():
                     wandb_logger.log_eval_data(fake_img, sr_final, hr_img,
                                                eval_psnr, eval_ssim)
 
-        avg_psnr /= idx
-        avg_ssim /= idx
+        avg_psnr, avg_ssim = _global_mean(world_size, avg_psnr, avg_ssim, idx)
         logger.info('# Validation # PSNR: {:.4e}'.format(avg_psnr))
         logger.info('# Validation # SSIM: {:.4e}'.format(avg_ssim))
         logging.getLogger('val').info(

@@ -136,20 +136,20 @@ def _tiny_val_opt(tile=None):
 
 
 def test_integrated_val_path_shards_tiles(monkeypatch):
-    """VERDICT r1 item 1: `sr.py -p val` must reach the sharded tiled sampler
-    through Trainer.test itself — tile chunks sized to the mesh and sharded
-    over the 'data' axis, not the old hardcoded chunk=1/no-mesh trigger."""
+    """VERDICT r1 item 1 + r2 item 1: `sr.py -p val` must reach the sharded
+    TILE-RESIDENT sampler through Trainer.test itself — tile chunks sized to
+    the mesh and sharded over the 'data' axis."""
     from ucdir_tpu.trainer import Trainer
-    from ucdir_tpu.parallel import tiled as tiled_mod
+    from ucdir_tpu.parallel import resident as res_mod
 
     seen = {}
-    orig = tiled_mod.tiled_denoise_fn
+    orig = res_mod.resident_reverse
 
     def spy(*args, **kwargs):
         seen.update(kwargs)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(tiled_mod, 'tiled_denoise_fn', spy)
+    monkeypatch.setattr(res_mod, 'resident_reverse', spy)
 
     tr = Trainer(_tiny_val_opt(tile={'skip': 64, 'padding': 16}))
     assert tr.mesh is not None and tr.mesh.shape['data'] == 8

@@ -105,10 +105,23 @@ def parse(config: str,
             opt['model']['beta_schedule']['val']['n_timestep'] = 50
             opt['model']['beta_schedule']['val']['linear_end'] = 4e-1
         elif 'gop-' in opt['name']:
+            # point val at the full GoPro test split (core/logger.py:63-112
+            # hardcodes the cluster path; here the root is configurable)
+            gop_root = os.environ.get('UCDIR_TPU_GOPRO_TEST_ROOT',
+                                      './dataset/GoPro/test')
+            opt['datasets']['val']['data_args']['dataroot'] = {
+                'lq': os.path.join(gop_root, 'input'),
+                'gt': os.path.join(gop_root, 'target')}
             fix += 'full'
             opt['model']['beta_schedule']['val']['n_timestep'] = 50
             opt['model']['beta_schedule']['val']['linear_end'] = 4e-1
         elif 'jpg-' in opt['name']:
+            # point val at the imagenet val list (core/logger.py:113-136)
+            opt['datasets']['val']['data_args']['dataroot'] = {
+                'root': os.environ.get('UCDIR_TPU_IMAGENET_VAL_ROOT',
+                                       './dataset/imagenet/val'),
+                'txt': os.environ.get('UCDIR_TPU_IMAGENET_VAL_TXT',
+                                      './imagenet_val_1k.txt')}
             opt['datasets']['val']['data_args']['factor'] = [10, 10]
             fix += 'fullimage10'
             opt['datasets']['val']['data_args']['crop_size'] = -1

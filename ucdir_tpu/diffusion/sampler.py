@@ -249,6 +249,33 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
     net_dtype = x_in_net.dtype
     guide_net = guide.astype(net_dtype) if guide is not None else None
 
+    if tile_opts is not None and sampler == 'ddpm':
+        # tile-RESIDENT reverse process (parallel/resident.py): the state
+        # stays tiled for the whole scan, only window overlaps are exchanged
+        # between steps — bitwise-identical to the reassembling path below
+        # (UCDIR_TPU_NO_RESIDENT=1 falls back to it for A/B measurement).
+        import os
+        if os.environ.get('UCDIR_TPU_NO_RESIDENT') != '1':
+            from ucdir_tpu.parallel.resident import resident_reverse
+            out = resident_reverse(
+                module.denoise_fn, variables['params']['denoise_fn'], sched,
+                x_in, x_in_net, guide_net, key, continous=continous,
+                skip=tile_opts.get('skip', 1024),
+                padding=tile_opts.get('padding', 64),
+                tile_chunk=tile_opts.get('tile_chunk', 1),
+                data_axis=tile_opts.get('data_axis'))
+            if continous:
+                img, snaps = out
+            else:
+                img, snaps = out, None
+            if initx is not None:
+                img = img + initx
+                if snaps is not None:
+                    snaps = snaps + initx[None]
+            if continous:
+                return img, initx, snaps
+            return img, initx
+
     if tile_opts is not None:
         from ucdir_tpu.parallel.tiled import tiled_denoise_fn
         tiled = tiled_denoise_fn(

@@ -182,14 +182,17 @@ def inception_probs(params, images) -> np.ndarray:
                            'torchvision inception_v3 state_dict (not the '
                            'headless pytorch-fid variant) for IS.')
     feat_params = {k: v for k, v in params.items() if k != 'fc'}
+    return np.asarray(_probs_jit(feat_params, params['fc'],
+                                 preprocess(images)))
 
-    @jax.jit
-    def fn(z):
-        feats = InceptionV3Features().apply({'params': feat_params}, z)
-        logits = feats @ params['fc']['kernel'] + params['fc']['bias']
-        return jax.nn.softmax(logits, axis=-1)
 
-    return np.asarray(fn(preprocess(images)))
+@jax.jit
+def _probs_jit(feat_params, fc, z):
+    # module-level jit: eval loops reuse the compiled program across batches
+    # (a per-call closure would recompile the full InceptionV3 every call)
+    feats = InceptionV3Features().apply({'params': feat_params}, z)
+    logits = feats @ fc['kernel'] + fc['bias']
+    return jax.nn.softmax(logits, axis=-1)
 
 
 def preprocess(images: np.ndarray) -> jnp.ndarray:

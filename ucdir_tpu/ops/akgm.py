@@ -161,6 +161,12 @@ def akgm_mix(h, att_sp, kernel, bias, nset: int, use_pallas: bool = False,
     import os
     forced = os.environ.get('UCDIR_TPU_AKGM_FORM')
     if forced:
+        # read at TRACE time: changing the env var after a function is
+        # jit-cached has no effect (perf-experiment knob only)
+        if forced not in _FORMS:
+            raise ValueError(
+                'UCDIR_TPU_AKGM_FORM=%r unknown; valid forms: %s'
+                % (forced, ', '.join(sorted(_FORMS))))
         return _FORMS[forced](h, att_sp, kernel, bias, nset)
     C = h.shape[-1]
     if C >= split_channels and h.dtype == jnp.bfloat16:

@@ -92,6 +92,12 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
         # conv(x*a + t) = conv_w(x*a) + tile(t, 9) @ w2. SAME padding must
         # hold normalized ZEROS, so pad with v where v*a + t == 0 — the
         # in-kernel affine then maps the ring to exactly 0.
+        # Degenerate case: if a learned GroupNorm scale underflows to exactly
+        # 0 the ring falls back to v=0, border taps then contribute shift*w,
+        # and this forward diverges from the custom_vjp backward (which uses
+        # the exact unfolded composition). Accepted: scale==0.0 is
+        # measure-zero for trained weights; clamping would perturb all
+        # non-degenerate numerics. Same pattern in akgm_pallas._akgm_block_forward.
         hp = _ring(hp, jnp.where(jnp.abs(norm_scale) > 1e-12,
                                  -norm_shift / norm_scale, 0.).astype(x.dtype))
         b2 = (bias[None, :]

@@ -164,6 +164,12 @@ def tiled_denoise_fn(denoiser, params, x_cond: jax.Array, guide: jax.Array,
         # {block: (n_chunks, k, hs, ws, nset)} rides lax.map as xs below
         maps = jax.lax.map(
             lambda g1: compute_guide_maps(denoiser, params, g1), g_tiles)
+        # the real guide tiles are dropped below (a placeholder is passed in
+        # their place) — every AKGM block MUST be covered by the hoisted maps
+        # or it would silently recompute guide convs from the placeholder
+        need = {name for name, _ in denoiser.guide_block_scales()}
+        assert need <= set(maps), (
+            'hoisted guide maps incomplete: missing %s' % (need - set(maps)))
         g_xs = None
     else:
         g_xs = g_tiles

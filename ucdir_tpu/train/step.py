@@ -250,21 +250,93 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
     prep_j = jax.jit(prep)
     seg_j = jax.jit(segment)
 
+    # ---- tile-RESIDENT segmented path (parallel/resident.py) -------------
+    # carries the TILED state across segment executions; one conditioning
+    # prepare per image (vs per segment), exchange instead of reassembly.
+    _res_cache = {}
+
+    def _resident_fns(shape):
+        if shape in _res_cache:
+            return _res_cache[shape]
+        from ucdir_tpu.parallel.resident import ResidentSampler
+        b, h, w, _ = shape
+        rs = ResidentSampler(module.denoise_fn, h, w, b, skip=skip,
+                             padding=int(tile['padding']),
+                             tile_chunk=int(tile.get('tile_chunk') or 1),
+                             data_axis=tile.get('data_axis'))
+
+        def prep_r(variables, sr_img, key):
+            x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode='reflect') if pad else sr_img
+            net_vars, x_net = _cast_all(variables, x)
+            initx = (module.apply(net_vars, x_net,
+                                  method='predict_init').astype(x.dtype)
+                     if has_pred else None)
+            guide = {'initx': initx, 'degraded': x, None: None}[guide_mode]
+            guide_net = (guide.astype(x_net.dtype) if guide is not None
+                         else x_net)
+            ctx = rs.prepare(net_vars['params']['denoise_fn'], x_net,
+                             guide_net)
+            key, k0 = jax.random.split(key)
+            img0 = jax.random.normal(k0, x.shape, x.dtype)
+            tw = rs.init_tiles(img0)
+            buf0 = (jnp.zeros((n_snap,) + tw.shape, tw.dtype)
+                    if continous else None)
+            return x, initx, ctx, tw, buf0, key
+
+        def seg_r(variables, ctx, tw, key, buf, ts, slots):
+            net_vars = (jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), variables)
+                if compute_dtype is not None else variables)
+            nd = (compute_dtype if compute_dtype is not None else tw.dtype)
+            return rs.scan_segment(net_vars['params']['denoise_fn'], ctx,
+                                   sched, tw, key, buf, ts, slots,
+                                   net_dtype=nd)
+
+        def fin_r(x, tw, buf):
+            img = rs.materialize(tw)
+            if continous:
+                snaps = jax.lax.map(rs.materialize, buf)
+                return img, jnp.concatenate([x[None], snaps], axis=0)
+            return img, None
+
+        fns = (jax.jit(prep_r), jax.jit(seg_r, donate_argnums=(2, 4)),
+               jax.jit(fin_r), rs)
+        _res_cache[shape] = fns
+        return fns
+
     def runner(variables, sr_img, key):
         import contextlib
-        ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
-        with ctx:
-            x, initx, guide, img, buf, key = prep_j(variables, sr_img, key)
-            for s in range(0, T, seg_steps):
-                e = min(s + seg_steps, T)
-                img, key, buf = seg_j(variables, x, guide, img, key, buf,
-                                      jnp.asarray(ts_np[s:e]),
-                                      jnp.asarray(slots_np[s:e]))
+        import os
+        ctxm = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        b = sr_img.shape[0]
+        h, w = sr_img.shape[1] + 2 * pad, sr_img.shape[2] + 2 * pad
+        resident = (h * w > skip * skip
+                    and os.environ.get('UCDIR_TPU_NO_RESIDENT') != '1')
+        with ctxm:
+            if resident:
+                prep_r, seg_r, fin_r, _ = _resident_fns(
+                    (b, h, w, sr_img.shape[3]))
+                x, initx, rctx, tw, buf, key = prep_r(variables, sr_img, key)
+                for s in range(0, T, seg_steps):
+                    e = min(s + seg_steps, T)
+                    tw, key, buf = seg_r(variables, rctx, tw, key, buf,
+                                         jnp.asarray(ts_np[s:e]),
+                                         jnp.asarray(slots_np[s:e]))
+                img, snaps = fin_r(x, tw, buf)
+            else:
+                x, initx, guide, img, buf, key = prep_j(variables, sr_img, key)
+                for s in range(0, T, seg_steps):
+                    e = min(s + seg_steps, T)
+                    img, key, buf = seg_j(variables, x, guide, img, key, buf,
+                                          jnp.asarray(ts_np[s:e]),
+                                          jnp.asarray(slots_np[s:e]))
+                snaps = (jnp.concatenate([x[None], buf], axis=0)
+                         if continous else None)
         if initx is not None:
             img = img + initx
         out = [img, initx]
         if continous:
-            snaps = jnp.concatenate([x[None], buf], axis=0)
             if initx is not None:
                 snaps = snaps + initx[None]
             out.append(snaps)

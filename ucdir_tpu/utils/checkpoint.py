@@ -22,8 +22,34 @@ def _ocp():
     return ocp
 
 
-def save_state(ckpt_dir: str, tag: str, state) -> str:
-    """Save a TrainState under ckpt_dir/tag (overwrites)."""
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        ocp = _ocp()
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves():
+    """Block until any in-flight async save commits (called automatically
+    before restores; call at end-of-training before process exit)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_state(ckpt_dir: str, tag: str, state, async_save: bool = True) -> str:
+    """Save a TrainState under ckpt_dir/tag (overwrites).
+
+    async_save: return as soon as the device->host snapshot is taken; the
+    file write proceeds in a background thread (orbax AsyncCheckpointer) so
+    the train loop doesn't stall on checkpoint IO (the reference's torch.save
+    of the 105M-param triple blocks the loop, model.py:193-222; over a
+    tunneled TPU the blocking write costs minutes). A new save, any restore,
+    or `wait_for_saves()` barriers on the previous one.
+    """
     ocp = _ocp()
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     payload = {
@@ -32,6 +58,13 @@ def save_state(ckpt_dir: str, tag: str, state) -> str:
         'opt_state': state.opt_state,
         'step': np.asarray(state.step),
     }
+    if async_save:
+        try:
+            ckptr = _async_ckptr()
+            ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+            return path
+        except Exception:  # orbax-version fallback: synchronous save
+            pass
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     return path
@@ -40,6 +73,7 @@ def save_state(ckpt_dir: str, tag: str, state) -> str:
 def restore_state(ckpt_dir_or_path: str, state, tag: Optional[str] = None):
     """Restore into an existing TrainState template (same pytree structure)."""
     ocp = _ocp()
+    wait_for_saves()
     path = os.path.abspath(ckpt_dir_or_path if tag is None
                            else os.path.join(ckpt_dir_or_path, tag))
     template = {
@@ -77,6 +111,7 @@ def load_params_for_eval(resume_state: str, use_ema: bool = True) -> Dict[str, A
     # CPU mesh); device placement happens later against the eval mesh
     # (Trainer._current_eval_params).
     ocp = _ocp()
+    wait_for_saves()
     path = os.path.abspath(resume_state)
 
     def _np_restore_args(t):
