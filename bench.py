@@ -108,27 +108,37 @@ def main():
     # an upper bound on useful-FLOP MFU.
     mfu = None
     try:
-        # XLA counts a scan body once, so count one denoiser call at tile
-        # size and scale: n_tiles x 50 steps + the predictor pass. Lower
-        # only — never executed; compiles are cached persistently.
-        from ucdir_tpu.parallel.tiled import compute_tile_starts
+        # XLA counts a scan body once, so count one denoiser call at the
+        # per-step working size and scale: n_calls x 50 steps + the predictor
+        # pass. Lower only — never executed; compiles are cached.
         import jax.tree_util as jtu
         vars16 = jtu.tree_map(lambda p: p.astype(jnp.bfloat16), variables)
-        tb = jnp.zeros((1, 1024, 1024, 6), jnp.bfloat16)
-        tg = jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16)
+        H, W = sid_h + 2 * 64, sid_w + 2 * 64       # after the eval pad
+        untiled_max = int(os.environ.get('UCDIR_TPU_UNTILED_MAX_PX',
+                                         '4300000'))
+        if H * W <= untiled_max:
+            # whole-image path (TPU-first default): one denoise per step at
+            # the /32-padded full resolution
+            th = -(-H // 32) * 32
+            tw = -(-W // 32) * 32
+            n_calls = 1
+        else:
+            from ucdir_tpu.parallel.tiled import compute_tile_starts
+            th = tw = 1024
+            n_calls = len(compute_tile_starts(H + 128, W + 128, 1024, 64))
+        tb = jnp.zeros((1, th, tw, 6), jnp.bfloat16)
+        tg = jnp.zeros((1, th, tw, 3), jnp.bfloat16)
         nl = jnp.zeros((1, 1), jnp.bfloat16)
         tile_flops = jax.jit(
             lambda v, x, n, g: module.denoise_fn.apply(
                 {'params': v['params']['denoise_fn']}, x, n, g,
                 method='naiveforward')).lower(
                     vars16, tb, nl, tg).compile().cost_analysis()['flops']
-        H, W = sid_h + 2 * 64, sid_w + 2 * 64       # after the eval pad
-        n_tiles = len(compute_tile_starts(H + 128, W + 128, 1024, 64))
         pred_flops = jax.jit(
             lambda v, x: module.apply(v, x, method='predict_init')).lower(
                 vars16, jnp.zeros((1, H, W, 3), jnp.bfloat16)
             ).compile().cost_analysis()['flops']
-        total = tile_flops * n_tiles * sched.num_timesteps + pred_flops
+        total = tile_flops * n_calls * sched.num_timesteps + pred_flops
         mfu = total / dt_sid / PEAK_BF16_FLOPS
     except Exception as e:  # cost_analysis availability varies per backend
         print('# cost_analysis unavailable: %r' % (e,), file=sys.stderr)

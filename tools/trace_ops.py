@@ -29,14 +29,17 @@ def print_op_table(top=25):
     paths = glob.glob(TRACE_DIR + '/**/*.xplane.pb', recursive=True)
     assert paths, 'no xplane written'
     from xprof.convert import raw_to_tool_data as rtd
+    data = None
     for tool in ('hlo_op_stats', 'hlo_stats'):
         try:
             data, _ = rtd.xspace_to_tool_data(paths, tool, {})
-            break
+            if data is not None:  # unknown tools return None, not raise
+                break
         except Exception as e:
             err = e
-    else:
-        raise err
+    if data is None:
+        raise RuntimeError('no xprof tool produced data (last err: %r)'
+                           % (err if 'err' in dir() else None))
     if isinstance(data, bytes):
         data = data.decode('utf-8', 'replace')
     # hlo_stats arrives as gviz JSON-ish; fall back to raw dump on surprise
@@ -119,6 +122,33 @@ def main():
                 return jnp.concatenate([c[..., :3], y.astype(dt)], -1), None
             return jax.lax.scan(step6, x, None, length=N)[0]
         run_traced(jax.jit(f), v, xin, nl, gd)
+    elif what == 'sid':
+        # INTEGRATED SID eval segment: the real CLI program (resident tiled
+        # sampler, bf16, 64-px pad) on a 3-step schedule — per-step op costs
+        # match the 50-step production program, the trace stays small.
+        from ucdir_tpu.config import parse
+        from ucdir_tpu.models.factory import define_G
+        from ucdir_tpu.schedule import make_schedule
+        from ucdir_tpu.train.step import make_eval_step
+        cfg = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'ucdir_tpu', 'configs', 'sid.yaml')
+        opt = parse(cfg, phase='val', checkpoint=None, num_processes=1,
+                    make_dirs=False)
+        module = define_G(opt, use_pallas=os.environ.get(
+            'UCDIR_TPU_PALLAS', '1') == '1')
+        so = dict(opt['model']['beta_schedule']['val'])
+        so['n_timestep'] = 3
+        sched = make_schedule(so)
+        x0 = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32, -1, 1)
+        v = jax.jit(module.init)({'params': key, 'dropout': key},
+                                 {'HR': x0, 'SR': x0},
+                                 jnp.ones((1, 1), jnp.float32) * 0.5,
+                                 jnp.zeros_like(x0))
+        h, w = (int(sys.argv[2]), int(sys.argv[3])) if len(sys.argv) > 3 \
+            else (1424, 2128)
+        x = jax.random.uniform(key, (1, h, w, 3), jnp.float32, -1, 1)
+        ev = make_eval_step(module, sched, pad=64, compute_dtype=jnp.bfloat16)
+        run_traced(lambda: ev(v, x, key))
     else:
         raise SystemExit('unknown target %s' % what)
     print_op_table()

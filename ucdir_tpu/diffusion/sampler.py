@@ -244,7 +244,14 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
 
     h, w = x_in.shape[1], x_in.shape[2]
     if tile_opts is None and h * w > 1024 * 1024:
-        tile_opts = {}  # reference trigger: >1024^2 inputs tile automatically
+        # reference trigger: >1024^2 tiles automatically (ucdir.py:295-300,
+        # a GPU-memory workaround costing 1.57x pixel overlap at SID size).
+        # TPU-first: whole-image while it fits HBM (no overlap recompute, no
+        # seams); the cap mirrors train/step.make_eval_step.should_tile.
+        import os
+        if h * w > int(os.environ.get('UCDIR_TPU_UNTILED_MAX_PX',
+                                      str(4_300_000))):
+            tile_opts = {}
 
     net_dtype = x_in_net.dtype
     guide_net = guide.astype(net_dtype) if guide is not None else None

@@ -211,8 +211,10 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
     C = h.shape[-1]
     # isolated at 256^2/C=256 the fused tail wins (5.75 vs 10.2 ms) but the
     # INTEGRATED program regresses (1133 -> 1204 ms/step): the 9.4 MB kd2
-    # starves the surrounding pipeline's VMEM. Keep C<256.
-    pallas_ok = (use_pallas and C < 256
+    # starves the surrounding pipeline's VMEM. Keep C<256 (override via
+    # UCDIR_TPU_TAIL_MAX_C for re-measurement).
+    max_c = int(os.environ.get('UCDIR_TPU_TAIL_MAX_C', '255'))
+    pallas_ok = (use_pallas and C <= max_c
                  and jax.devices()[0].platform == 'tpu'
                  and os.environ.get('UCDIR_TPU_AKGM_FORM') is None
                  and os.environ.get('UCDIR_TPU_NO_FUSED_TAIL') != '1')

@@ -39,6 +39,7 @@ except ImportError:  # pragma: no cover - exercised only on jax upgrades
     HAS_ELEMENT = False
 
 from ucdir_tpu.ops.akgm import akgm_mix_reference, _densify_kernel
+from ucdir_tpu.ops import vmem_limit_bytes as _vmem_limit
 
 
 def _selection_matrix(C: int, G: int, dtype) -> np.ndarray:
@@ -191,8 +192,23 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                         norm_scale=None, norm_shift=None, attw=None,
                         rows_per_block: int = 0):
     import os
-    if os.environ.get('UCDIR_TPU_AKGM_PACKED', '1') != '0':
-        # group-packed v3 (zero FLOP waste); v2 kept for A/B via env=0
+    if os.environ.get('UCDIR_TPU_ALIGNED') == '1' \
+            and os.environ.get('UCDIR_TPU_AKGM_PACKED') != '1':
+        # aligned-halo experiment: measured a wash isolated, -1.2%% in-model,
+        # 2x compile time — opt-in only
+        return _akgm_block_forward_aligned(
+            h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
+            attw, rows_per_block)
+    if os.environ.get('UCDIR_TPU_AKGM_PACKED') == '1':
+        # NEGATIVE RESULT (VERDICT r2 item 8, kept for the record): the
+        # group-packed formulation measures 1.4-2.7x faster but computes a
+        # DIFFERENT network. The true pairing (torch view(b, c, nset, h, w) +
+        # groups=nset) gives candidate j = o % nset but conv-group
+        # g = o // C, so all G candidates of an output channel share ONE
+        # input group — the attention cannot fold into a shared im2col
+        # operand, and the correct per-group dots need 8-lane operand slices
+        # (vs the 128-lane VPU granularity). The densified form's G-fold
+        # FLOP waste is the price of that granularity; it stays the default.
         return _akgm_block_forward_packed(
             h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
             attw, rows_per_block)
@@ -264,7 +280,7 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
         # XLA program the default pallas vmem budget OOMs ("Ran out of memory
         # in memory space vmem while allocating on stack") — raise it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
             # let XLA fuse the jnp.pad producer into the operand (kills the
             # separate full-tensor pad materialization where it can)
             allow_input_fusion=[True] + [False] * (6 + len(extra))),
@@ -273,6 +289,114 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
             transcendentals=B * H * W * C),
     )(hp, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
+      sel, res, *extra)
+
+
+# ---------------------------------------------------------------------------
+# ALIGNED-halo variant of the fused block tail (see conv_pallas.py for the
+# rationale: Element-offset halo DMA never pipelines; three standard aligned
+# R-row blocks at indices (y, y+1, y+2) of a rows-padded-by-R input do).
+# ---------------------------------------------------------------------------
+
+
+def _akgm_block_kernel_aligned(ha_ref, hm_ref, hb_ref, att_ref, aw_ref,
+                               kd_ref, bias_ref, sel_ref, res_ref, *rest,
+                               C, G, W, R, fold):
+    if fold:
+        a_ref, out_ref, scratch_ref = rest
+    else:
+        out_ref, scratch_ref = rest
+    for r in range(R):
+        rows = (ha_ref[0, R - 1] if r == 0 else hm_ref[0, r - 1],
+                hm_ref[0, r],
+                hb_ref[0, 0] if r == R - 1 else hm_ref[0, r + 1])
+        for t, (ty, tx) in enumerate(
+                [(y, x) for y in range(3) for x in range(3)]):
+            piece = rows[ty][tx:tx + W, :]
+            if fold:
+                piece = piece * a_ref[0]
+            scratch_ref[:, t * C:(t + 1) * C] = piece
+        acc = jnp.dot(scratch_ref[...], kd_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, CG)
+        acc = acc + bias_ref[0]
+        att = att_ref[0, r] * aw_ref[0]                     # (W, G)
+        att_exp = jnp.tile(att, (1, C))
+        mixed = (acc.astype(att_exp.dtype) * att_exp)
+        out = jnp.dot(mixed, sel_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, C)
+        out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
+        out_ref[0, r] = out.astype(out_ref.dtype)
+
+
+def _akgm_block_forward_aligned(h, att_sp, kernel, bias, res, nset: int,
+                                norm_scale=None, norm_shift=None, attw=None,
+                                rows_per_block: int = 0):
+    import os
+    B, H, W, C = h.shape
+    G = nset
+    if attw is None:
+        attw = jnp.ones((B, G), h.dtype)
+    if not rows_per_block:
+        rows_per_block = int(os.environ.get('UCDIR_TPU_AKGM_R', '8'))
+    R = next(r for r in (rows_per_block, 8, 4, 2, 1) if H % r == 0)
+    fold = norm_scale is not None
+    hp = jnp.pad(h, ((0, 0), (R, R), (1, 1), (0, 0)))
+    kd = _densify_kernel(kernel, C, G)
+    kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)
+    if fold:
+        from ucdir_tpu.ops.conv_pallas import _ring_aligned
+        hp = _ring_aligned(hp, jnp.where(jnp.abs(norm_scale) > 1e-12,
+                                         -norm_shift / norm_scale,
+                                         0.).astype(h.dtype), R)
+        bias2 = (bias[None, :]
+                 + jnp.tile(norm_shift.astype(jnp.float32), (1, 9))
+                 @ kd2.astype(jnp.float32)).astype(h.dtype)[:, None, :]
+        extra = [norm_scale.astype(h.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, C), lambda b, y: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+        b_spec = pl.BlockSpec((1, 1, C * G), lambda b, y: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        bias2 = bias.reshape(1, 1, C * G)
+        extra, extra_specs = [], []
+        b_spec = pl.BlockSpec((1, 1, C * G), lambda b, y: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
+
+    blk = lambda off: pl.BlockSpec(
+        (1, R, W + 2, C), lambda b, y, o=off: (b, y + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
+    return pl.pallas_call(
+        functools.partial(_akgm_block_kernel_aligned, C=C, G=G, W=W, R=R,
+                          fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=(B, H // R),
+        in_specs=[
+            blk(0), blk(1), blk(2),
+            pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec,
+            pl.BlockSpec((C * G, C), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype)],
+        # input fusion OFF: see conv_pallas._conv3x3_forward_aligned
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h.dtype.itemsize * B * H * W * (5 * C + G),
+            transcendentals=B * H * W * C),
+    )(hp, hp, hp, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
       sel, res, *extra)
 
 
@@ -398,7 +522,7 @@ def _akgm_block_forward_packed(h, att_sp, kernel, bias, res, nset: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
             allow_input_fusion=[True] + [False] * (6 + len(extra))),
         cost_estimate=pl.CostEstimate(
             flops=flops,

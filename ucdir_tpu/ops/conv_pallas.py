@@ -21,6 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ucdir_tpu.ops.akgm_pallas import HAS_ELEMENT, _Element
+from ucdir_tpu.ops import vmem_limit_bytes as _vmem_limit
 
 
 def conv3x3_xla(x, kernel, bias=None, act=None):
@@ -42,6 +43,18 @@ def _ring(hp, v):
     hp = hp.at[:, -1, :, :].set(vb)
     hp = hp.at[:, :, 0, :].set(vb)
     hp = hp.at[:, :, -1, :].set(vb)
+    return hp
+
+
+def _ring_aligned(hp, v, R):
+    """Ring for the rows-padded-by-R layout (B, H+2R, W+2, C): the positions
+    a 3x3 window can read are rows [R-1, H+R] x cols [0, W+1]; write v on
+    that region's border (rows R-1 / H+R full-width, cols 0 / W+1)."""
+    S = hp.shape[1]
+    hp = hp.at[:, R - 1, :, :].set(v[:, None, :])
+    hp = hp.at[:, S - R, :, :].set(v[:, None, :])
+    hp = hp.at[:, R - 1:S - R + 1, 0, :].set(v[:, None, :])
+    hp = hp.at[:, R - 1:S - R + 1, -1, :].set(v[:, None, :])
     return hp
 
 
@@ -80,6 +93,13 @@ def conv3x3_pallas(x, kernel, bias, act=None, norm_scale=None,
 
 def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
                      norm_shift=None, rows_per_block: int = 0):
+    import os
+    if os.environ.get('UCDIR_TPU_ALIGNED') == '1':
+        # aligned-halo experiment (3 standard block operands instead of
+        # Element offsets) — measured a WASH isolated and -1.2% in-model
+        # with 2x the compile time; kept opt-in for future re-measurement
+        return _conv3x3_forward_aligned(x, kernel, bias, act, norm_scale,
+                                        norm_shift, rows_per_block)
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if not rows_per_block:
@@ -135,13 +155,107 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
             allow_input_fusion=[True] + [False] * (2 + len(extra))),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H * W * Cin * Cout,
             bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),
             transcendentals=B * H * W * Cout if act else 0),
     )(hp, w2, b2, *extra)
+
+
+# ---------------------------------------------------------------------------
+# ALIGNED-halo variant: Element-offset block specs do not DMA-pipeline on
+# Mosaic (measured r2: a DMA-only halo kernel costs 4.9 ms for 0.7 ms of
+# bytes at 1024^2/C=64 — per-program latency never overlaps compute). Here
+# the input is row-padded by R and passed THREE times with standard aligned
+# R-row block specs at block indices (y, y+1, y+2); Mosaic double-buffers
+# those, and the 3-row window of each output row is assembled in-kernel from
+# static slices of the three resident blocks (row o reads block-local rows
+# r-1, r, r+1 of the middle block, spilling into the above/below blocks only
+# at r=0 / r=R-1). 3x read amplification, but the reads are pipelined —
+# bandwidth is cheap here, latency was not.
+# ---------------------------------------------------------------------------
+
+
+def _conv_kernel_aligned(above_ref, mid_ref, below_ref, w_ref, b_ref, *rest,
+                         Cin, Cout, W, R, act, fold):
+    if fold:
+        a_ref, out_ref, scratch_ref = rest
+    else:
+        out_ref, scratch_ref = rest
+    for r in range(R):
+        rows = (above_ref[0, R - 1] if r == 0 else mid_ref[0, r - 1],
+                mid_ref[0, r],
+                below_ref[0, 0] if r == R - 1 else mid_ref[0, r + 1])
+        for t, (ty, tx) in enumerate(
+                [(y, x) for y in range(3) for x in range(3)]):
+            piece = rows[ty][tx:tx + W, :]
+            if fold:
+                piece = piece * a_ref[0]
+            scratch_ref[:, t * Cin:(t + 1) * Cin] = piece
+        acc = jnp.dot(scratch_ref[...], w_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, Cout)
+        acc = acc + b_ref[0]
+        if act == 'swish':
+            acc = acc * jax.nn.sigmoid(acc)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def _conv3x3_forward_aligned(x, kernel, bias, act=None, norm_scale=None,
+                             norm_shift=None, rows_per_block: int = 0):
+    import os
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    if not rows_per_block:
+        rows_per_block = int(os.environ.get('UCDIR_TPU_CONV_R', '8'))
+    R = next(r for r in (rows_per_block, 8, 4, 2, 1) if H % r == 0)
+    fold = norm_scale is not None
+    hp = jnp.pad(x, ((0, 0), (R, R), (1, 1), (0, 0)))
+    w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)
+    if fold:
+        hp = _ring_aligned(hp, jnp.where(jnp.abs(norm_scale) > 1e-12,
+                                         -norm_shift / norm_scale,
+                                         0.).astype(x.dtype), R)
+        b2 = (bias[None, :]
+              + jnp.tile(norm_shift.astype(jnp.float32), (1, 9))
+              @ w2.astype(jnp.float32)).astype(x.dtype)[:, None, :]
+        extra = [norm_scale.astype(x.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, Cin), lambda b, y: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+        b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        b2 = bias.reshape(1, 1, Cout)
+        extra, extra_specs = [], []
+        b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    blk = lambda off: pl.BlockSpec(
+        (1, R, W + 2, Cin), lambda b, y, o=off: (b, y + o, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_aligned, Cin=Cin, Cout=Cout, W=W, R=R,
+                          act=act, fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        grid=(B, H // R),
+        in_specs=[blk(0), blk(1), blk(2),
+                  pl.BlockSpec((9 * Cin, Cout), lambda b, y: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  b_spec] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype)],
+        # input fusion OFF here: with the same padded array passed three
+        # times, letting XLA fuse the pad producer into each operand would
+        # recompute it 3x (and ballooned the integrated compile ~7x)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H * W * Cin * Cout,
+            bytes_accessed=x.dtype.itemsize * B * H * W * (3 * Cin + Cout),
+            transcendentals=B * H * W * Cout if act else 0),
+    )(hp, hp, hp, w2, b2, *extra)
 
 
 def _c3_ref(x, kernel, bias, act, norm_scale, norm_shift):
@@ -208,7 +322,7 @@ def _conv1x1_forward(x, kernel, bias, act=None, rows_per_block: int = 8):
         out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit()),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * Cin * Cout,
             bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),

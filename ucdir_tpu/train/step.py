@@ -126,6 +126,7 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
     and trips the RPC deadline); also gives natural progress/preemption
     points. Overhead: one dispatch (~ms) per segment.
     """
+    explicit_tile = tile is not None
     tile = dict(tile or {})
     if mesh is not None:
         tile.setdefault('tile_chunk', int(mesh.shape['data']))
@@ -134,18 +135,34 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
     tile.setdefault('padding', 64)
     skip = int(tile['skip'])
 
+    def should_tile(h, w):
+        # Reference trigger: tile everything >skip^2 (ucdir.py:295-300 —
+        # a GPU-memory workaround, at a measured 1.57x pixel-overlap cost at
+        # SID size). TPU-first default: run the UNet on the WHOLE image
+        # while it fits HBM (UCDIR_TPU_UNTILED_MAX_PX, ~16 GB chip), tiling
+        # only above that — no overlap recompute, no seams, full receptive
+        # field. An explicitly-configured tile dict (CLI/tests/multi-chip
+        # meshes) keeps the strict reference trigger.
+        if h * w <= skip * skip:
+            return False
+        if explicit_tile or mesh is not None:
+            return True
+        import os
+        return h * w > int(os.environ.get('UCDIR_TPU_UNTILED_MAX_PX',
+                                          str(4_300_000)))
+
     if (seg_steps and sampler == 'ddpm' and not bucket
             and getattr(module, 'sample_mode', 'reverse') == 'reverse'):
         return _make_segmented_eval_step(
             module, sched, pad=pad, continous=continous,
             compute_dtype=compute_dtype, mesh=mesh, tile=tile, skip=skip,
-            seg_steps=int(seg_steps))
+            seg_steps=int(seg_steps), should_tile=should_tile)
 
     def eval_step(variables, sr_img, key):
         x = jnp.pad(sr_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                     mode='reflect') if pad else sr_img
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        tile_opts = tile if h * w > skip * skip else None
+        tile_opts = tile if should_tile(h, w) else None
         if (tile_opts is None and mesh is not None and b > 1
                 and b % mesh.shape['data'] == 0):
             # small images: parallelize whole images across chips instead
@@ -189,7 +206,10 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
 
 def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
                               continous: bool, compute_dtype, mesh,
-                              tile: dict, skip: int, seg_steps: int):
+                              tile: dict, skip: int, seg_steps: int,
+                              should_tile=None):
+    if should_tile is None:
+        should_tile = lambda h, w: h * w > skip * skip
     """Segmented DDPM eval (see make_eval_step seg_steps): prep + K segment
     executions + eager finish. Bit-identical to the one-scan path — the RNG
     stream, snapshot slots and posterior math are shared (ddpm_scan_segment)."""
@@ -223,7 +243,7 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
         net_dtype = x_net.dtype
         guide_net = guide.astype(net_dtype) if guide is not None else None
         h, w = x.shape[1], x.shape[2]
-        if h * w > skip * skip:
+        if should_tile(h, w):
             from ucdir_tpu.parallel.tiled import tiled_denoise_fn
             tiled = tiled_denoise_fn(
                 module.denoise_fn, net_vars['params']['denoise_fn'], x_net,
@@ -311,7 +331,7 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
         ctxm = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
         b = sr_img.shape[0]
         h, w = sr_img.shape[1] + 2 * pad, sr_img.shape[2] + 2 * pad
-        resident = (h * w > skip * skip
+        resident = (should_tile(h, w)
                     and os.environ.get('UCDIR_TPU_NO_RESIDENT') != '1')
         with ctxm:
             if resident:
