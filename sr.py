@@ -116,7 +116,7 @@ def main():
     parser.add_argument('-log_eval', action='store_true')
     parser.add_argument('--checkpoint', type=str, default=None)
     parser.add_argument('--sampler', type=str, default='ddpm',
-                        choices=['ddpm', 'ddim', 'dpmpp'])
+                        choices=['ddpm', 'ddim', 'dpmpp', 'dpmpp_sde'])
     parser.add_argument('--sampling_timesteps', type=int, default=None,
                         help='steps for ddim/dpmpp (defaults: 5 / 20)')
     parser.add_argument('--compute_dtype', type=str, default=None,

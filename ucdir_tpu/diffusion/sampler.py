@@ -67,8 +67,24 @@ def ddpm_scan_segment(denoise: Callable, sched: NoiseSchedule, img, key, buf,
     executions (carry round-trips through host): a single 50-step program at
     SID resolution runs ~81s on one chip, which trips RPC deadlines on
     tunneled-TPU setups — and segment boundaries double as progress points.
+
+    The scan carry is kept as a FLAT (B*H, W*C) view and reshaped to NHWC
+    only around the denoise call: in the natural NHWC layout the C=3 minor
+    dim occupies 3 of the 128 vector lanes, so the fused posterior+RNG
+    update ran ~4x off its roofline (reshaping just the math does not help —
+    XLA re-fuses through reshapes into the C-minor output space; the carry
+    itself must be flat). Bit-identical: elementwise math commutes with
+    reshape, and jax.random.normal's threefry stream depends only on element
+    count, so the flat draw equals the NHWC draw reshaped.
     """
     shape = img.shape
+    b_, h_, w_, c_ = shape
+    fshape = (b_ * h_, w_ * c_)
+    img = img.reshape(fshape)
+    bshape = None
+    if buf is not None:
+        bshape = buf.shape
+        buf = buf.reshape((bshape[0],) + fshape)
 
     def step(carry, xs):
         img, key, buf = carry
@@ -76,7 +92,7 @@ def ddpm_scan_segment(denoise: Callable, sched: NoiseSchedule, img, key, buf,
         key, k = jax.random.split(key)
         noise_level = jnp.full((shape[0], 1), 0., dtype=img.dtype) + \
             sched.sqrt_alphas_cumprod_prev[t + 1]
-        eps = denoise(img, noise_level)
+        eps = denoise(img.reshape(shape), noise_level).reshape(fshape)
         x0 = (sched.sqrt_recip_alphas_cumprod[t] * img
               - sched.sqrt_recipm1_alphas_cumprod[t] * eps)
         if clip_denoised:
@@ -84,7 +100,7 @@ def ddpm_scan_segment(denoise: Callable, sched: NoiseSchedule, img, key, buf,
         mean = (sched.posterior_mean_coef1[t] * x0
                 + sched.posterior_mean_coef2[t] * img)
         logvar = sched.posterior_log_variance_clipped[t]
-        noise = jax.random.normal(k, shape, dtype=img.dtype)
+        noise = jax.random.normal(k, fshape, dtype=img.dtype)
         noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
         img = mean + noise * jnp.exp(0.5 * logvar)
         if buf is not None:
@@ -92,7 +108,8 @@ def ddpm_scan_segment(denoise: Callable, sched: NoiseSchedule, img, key, buf,
         return (img, key, buf), None
 
     (img, key, buf), _ = jax.lax.scan(step, (img, key, buf), (ts, slots))
-    return img, key, buf
+    return (img.reshape(shape), key,
+            buf if buf is None else buf.reshape(bshape))
 
 
 def p_sample_loop(denoise: Callable, x_cond: jax.Array, sched: NoiseSchedule,
@@ -313,11 +330,12 @@ def super_resolution(module, variables, sched: NoiseSchedule, x_in: jax.Array,
         out = ddim_sample(denoise, x_in, sched, key,
                           sampling_timesteps=sampling_timesteps, eta=eta,
                           continous=continous)
-    elif sampler == 'dpmpp':
+    elif sampler in ('dpmpp', 'dpmpp_sde'):
         from ucdir_tpu.diffusion.dpm_solver import dpm_solver_pp_sample
         out = dpm_solver_pp_sample(denoise, x_in, sched, key,
                                    steps=sampling_timesteps,
-                                   continous=continous)
+                                   continous=continous,
+                                   sde=(sampler == 'dpmpp_sde'))
     else:
         raise NotImplementedError(sampler)
 

@@ -209,11 +209,15 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
     """
     import os
     C = h.shape[-1]
-    # isolated at 256^2/C=256 the fused tail wins (5.75 vs 10.2 ms) but the
-    # INTEGRATED program regresses (1133 -> 1204 ms/step): the 9.4 MB kd2
-    # starves the surrounding pipeline's VMEM. Keep C<256 (override via
-    # UCDIR_TPU_TAIL_MAX_C for re-measurement).
-    max_c = int(os.environ.get('UCDIR_TPU_TAIL_MAX_C', '255'))
+    # The C=256 tail is spatial-size sensitive: it WINS the whole-image SID
+    # program at /4 = 392x568 (783 -> 742 ms/step, r3) but LOSES small maps
+    # (512px program 2.48 -> 2.86 s/img; r2 tiled: 1133 -> 1204 ms/step at
+    # 256^2) — the 9.4 MB kd2 only amortizes on big grids. Gate C=256 on
+    # area; UCDIR_TPU_TAIL_MAX_C re-measures.
+    max_c = int(os.environ.get('UCDIR_TPU_TAIL_MAX_C', '256'))
+    if C == 256 and h.shape[1] * h.shape[2] < 100_000 \
+            and 'UCDIR_TPU_TAIL_MAX_C' not in os.environ:
+        max_c = 255
     pallas_ok = (use_pallas and C <= max_c
                  and jax.devices()[0].platform == 'tpu'
                  and os.environ.get('UCDIR_TPU_AKGM_FORM') is None

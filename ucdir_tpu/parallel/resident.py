@@ -416,14 +416,21 @@ class ResidentSampler:
             def upd(tile, cur, srect, wrect):
                 e = eps[tile, :, wrect[0]:wrect[1],
                         wrect[2]:wrect[3], :].astype(cur.dtype)
-                x0 = (sched.sqrt_recip_alphas_cumprod[t] * cur
-                      - sched.sqrt_recipm1_alphas_cumprod[t] * e)
+                nz = noise[:, srect[0]:srect[1], srect[2]:srect[3], :]
+                # elementwise math on a lane-filling (B*H, W*C) view — NHWC
+                # keeps C=3 in 3/128 vector lanes (see sampler.py step);
+                # bit-identical, reshape commutes with elementwise ops
+                sh = cur.shape
+                curf = cur.reshape(sh[0] * sh[1], sh[2] * sh[3])
+                ef = e.reshape(curf.shape)
+                nzf = nz.reshape(curf.shape)
+                x0 = (sched.sqrt_recip_alphas_cumprod[t] * curf
+                      - sched.sqrt_recipm1_alphas_cumprod[t] * ef)
                 if clip_denoised:
                     x0 = jnp.clip(x0, -1., 1.)
                 mean = (sched.posterior_mean_coef1[t] * x0
-                        + sched.posterior_mean_coef2[t] * cur)
-                nz = noise[:, srect[0]:srect[1], srect[2]:srect[3], :]
-                return mean + nz * sigma
+                        + sched.posterior_mean_coef2[t] * curf)
+                return (mean + nzf * sigma).reshape(sh)
 
             tw = plan.update_owned(tw, upd)
             tw = plan.exchange(tw)
