@@ -52,3 +52,46 @@ def test_pallas_gradients_match_reference(rng):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-3, atol=1e-4)
+
+
+# --- fused block tail (padded + pad-free forwards) -------------------------
+
+from ucdir_tpu.ops.akgm_pallas import (
+    _akgm_block_forward, _akgm_block_forward_padfree, _block_ref)
+
+
+def _block_data(rng, B=1, H=8, W=16, C=16, G=8, fold=False, attw=False):
+    h, att, kernel, bias, _ = _data(rng, B=B, H=H, W=W, C=C, G=G)
+    res = jnp.asarray(rng.standard_normal((B, H, W, C)) * 0.5, jnp.float32)
+    ns = nt = aw = None
+    if fold:
+        ns = jnp.asarray(rng.standard_normal((B, C)) * 0.3 + 1.0, jnp.float32)
+        nt = jnp.asarray(rng.standard_normal((B, C)) * 0.2, jnp.float32)
+    if attw:
+        aw = jnp.asarray(rng.standard_normal((B, G)) * 0.5 + 1.0, jnp.float32)
+    return h, att, kernel, bias, res, G, ns, nt, aw
+
+
+@pytest.mark.parametrize('fold', [False, True])
+def test_block_padded_matches_reference(rng, fold, monkeypatch):
+    monkeypatch.setenv('UCDIR_TPU_PADFREE', '0')
+    h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, fold=fold,
+                                                   attw=True)
+    want = _block_ref(h, att, k, b, res, G, ns, nt, aw)
+    with pltpu.force_tpu_interpret_mode():
+        got = _akgm_block_forward(h, att, k, b, res, G, ns, nt, aw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('R', [2, 4])
+def test_block_padfree_matches_reference(rng, fold, R):
+    h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, fold=fold,
+                                                   attw=True)
+    want = _block_ref(h, att, k, b, res, G, ns, nt, aw)
+    with pltpu.force_tpu_interpret_mode():
+        got = _akgm_block_forward_padfree(h, att, k, b, res, G, ns, nt, aw,
+                                          rows_per_block=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,75 @@
+"""Fused Pallas 3x3/1x1 conv kernels vs the XLA reference (interpret mode).
+
+Covers the padded forward, the pad-free forward (in-kernel SAME-border
+staging — top/interior/bottom grid programs), the folded-GroupNorm affine
+variant of both, and the 1x1 kernel. Reference semantics:
+/root/reference/model/ucdir.py:75-100 (Block conv) — here checked against
+the plain XLA composition, which the torch-parity suite pins separately.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from ucdir_tpu.ops.conv_pallas import (
+    _conv3x3_forward, _conv3x3_forward_padfree, _conv1x1_forward,
+    _c3_ref, conv1x1_xla)
+
+
+def _data(rng, B=1, H=8, W=16, Cin=16, Cout=24, fold=False):
+    x = jnp.asarray(rng.standard_normal((B, H, W, Cin)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    if not fold:
+        return x, k, b, None, None
+    ns = jnp.asarray(rng.standard_normal((B, Cin)) * 0.3 + 1.0, jnp.float32)
+    nt = jnp.asarray(rng.standard_normal((B, Cin)) * 0.2, jnp.float32)
+    return x, k, b, ns, nt
+
+
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('act', [None, 'swish'])
+def test_padded_forward_matches_xla(rng, fold, act):
+    x, k, b, ns, nt = _data(rng, fold=fold)
+    want = _c3_ref(x, k, b, act, ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward(x, k, b, act, ns, nt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('R', [2, 4])
+def test_padfree_forward_matches_xla(rng, fold, R):
+    # H/R >= 2 so the top/interior/bottom branches all execute; B=2 checks
+    # the per-batch fold operand indexing
+    x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=fold)
+    want = _c3_ref(x, k, b, 'swish', ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward_padfree(x, k, b, 'swish', ns, nt,
+                                       rows_per_block=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_padfree_two_blocks_boundary(rng):
+    # ny == 2: both boundary branches, no interior program
+    x, k, b, ns, nt = _data(rng, H=8, fold=False)
+    want = _c3_ref(x, k, b, None, None, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward_padfree(x, k, b, None, rows_per_block=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('act', [None, 'swish'])
+def test_conv1x1_matches_xla(rng, act):
+    x, _, _, _, _ = _data(rng)
+    k = jnp.asarray(rng.standard_normal((1, 1, 16, 24)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((24,)) * 0.1, jnp.float32)
+    want = conv1x1_xla(x, k, b, act)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv1x1_forward(x, k, b, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -139,6 +139,47 @@ akgm_mix_pallas.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
+def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C):
+    """Stage an UNPADDED (1, R+2, W, C) Element block (row offset
+    clip(y*R-1, 0, H-R-2) of the source) into a (R+2, W+2, C) VMEM scratch
+    holding the SAME-padding view: border positions get vrow, interior rows
+    get the input with the folded-norm affine `row*arow + trow` applied once
+    (instead of 3x per im2col tap; with trow the ring is the exact
+    normalized zero, so vrow=0 and the bias stays unfolded — no degenerate
+    scale==0 case, unlike the padded path's -shift/scale ring).
+    Grid axis 1 must be the row-block axis."""
+    y = pl.program_id(1)
+    ny = pl.num_programs(1)
+
+    def stage(off, top, bottom):
+        # scratch row l = padded-view row (border at l==0 if top /
+        # l==R+1 if bottom); source = h_ref local row l - off
+        for l in range(R + 2):
+            if (top and l == 0) or (bottom and l == R + 1):
+                pad_ref[l, :, :] = jnp.broadcast_to(vrow, (W + 2, C))
+                continue
+            row = h_ref[0, l - off]                          # (W, C)
+            if arow is not None:
+                row = row * arow
+            if trow is not None:
+                row = row + trow
+            pad_ref[l, 1:W + 1, :] = row
+            pad_ref[l, 0:1, :] = vrow
+            pad_ref[l, W + 1:W + 2, :] = vrow
+
+    @pl.when(jnp.logical_and(y > 0, y < ny - 1))
+    def _interior():
+        stage(0, False, False)
+
+    @pl.when(y == 0)
+    def _top():
+        stage(1, True, ny == 1)
+
+    @pl.when(jnp.logical_and(y == ny - 1, ny > 1))
+    def _bottom():
+        stage(-1, False, True)
+
+
 def _akgm_block_kernel(h_ref, att_ref, aw_ref, kd_ref, bias_ref, sel_ref,
                        res_ref, *rest, C, G, W, R, fold=False):
     if fold:
@@ -222,6 +263,11 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
         # not the limiter — see CLAUDE.md round-2 notes)
         rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
     R = rows_per_block
+    pf = os.environ.get('UCDIR_TPU_PADFREE', 'auto')
+    if pf in ('1', 'auto') and H // R >= 2 and H >= R + 2:
+        return _akgm_block_forward_padfree(h, att_sp, kernel, bias, res,
+                                           nset, norm_scale, norm_shift,
+                                           attw, R)
     fold = norm_scale is not None
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
@@ -290,6 +336,108 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             transcendentals=B * H * W * C),
     )(hp, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
       sel, res, *extra)
+
+
+def _akgm_block_kernel_padfree(h_ref, att_ref, aw_ref, kd_ref, bias_ref,
+                               sel_ref, res_ref, v_ref, *rest,
+                               C, G, W, R, fold=False):
+    """Pad-free block tail: stages the SAME-padding view in VMEM (see
+    _stage_padfree) so the jnp.pad producer — which XLA cannot input-fuse
+    when h is itself a custom-call output, leaving a full-tensor pad op
+    between chained kernels — disappears from the program."""
+    if fold:
+        a_ref, t_ref, out_ref, scratch_ref, pad_ref = rest
+    else:
+        out_ref, scratch_ref, pad_ref = rest
+    _stage_padfree(h_ref, pad_ref, v_ref[0],
+                   a_ref[0] if fold else None,
+                   t_ref[0] if fold else None, R=R, W=W, C=C)
+    for r in range(R):
+        for t, (ty, tx) in enumerate(
+                [(y, x) for y in range(3) for x in range(3)]):
+            scratch_ref[:, t * C:(t + 1) * C] = pad_ref[r + ty, tx:tx + W, :]
+        acc = jnp.dot(scratch_ref[...], kd_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, CG)
+        acc = acc + bias_ref[0]
+        att = att_ref[0, r] * aw_ref[0]                     # (W, G) * (1, G)
+        att_exp = jnp.tile(att, (1, C))
+        mixed = (acc.astype(att_exp.dtype) * att_exp)
+        out = jnp.dot(mixed, sel_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, C)
+        out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
+        out_ref[0, r] = out.astype(out_ref.dtype)
+
+
+def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
+                                norm_scale=None, norm_shift=None, attw=None,
+                                rows_per_block: int = 0):
+    B, H, W, C = h.shape
+    G = nset
+    if attw is None:
+        attw = jnp.ones((B, G), h.dtype)
+    if not rows_per_block:
+        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+    R = rows_per_block
+    fold = norm_scale is not None
+    kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
+    kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)          # k = tap*C + i
+    bias2 = bias.reshape(1, 1, C * G)
+    v2 = jnp.zeros((1, 1, C), h.dtype)
+    b_spec = pl.BlockSpec((1, 1, C * G), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, C), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if fold:
+        # the staged operand carries h*a + t directly (zero ring = the
+        # normalized zero), so the bias stays unfolded
+        per_b = lambda b, y: (b, 0, 0)
+        extra = [norm_scale.astype(h.dtype)[:, None, :],
+                 norm_shift.astype(h.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, C), per_b,
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+    sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
+
+    grid = (B, H // R)
+    flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
+    return pl.pallas_call(
+        functools.partial(_akgm_block_kernel_padfree, C=C, G=G, W=W, R=R,
+                          fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(C)),
+                         lambda b, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec,
+            pl.BlockSpec((C * G, C), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            v_spec,
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype),
+                        pltpu.VMEM((R + 2, W + 2, C), h.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True] + [False] * (7 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
+            transcendentals=B * H * W * C),
+    )(h, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
+      sel, res, v2, *extra)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ucdir_tpu.ops.akgm_pallas import HAS_ELEMENT, _Element
+from ucdir_tpu.ops.akgm_pallas import HAS_ELEMENT, _Element, _stage_padfree
 from ucdir_tpu.ops import vmem_limit_bytes as _vmem_limit
 
 
@@ -79,6 +79,96 @@ def _conv_kernel(h_ref, w_ref, b_ref, *rest, Cin, Cout, W, R, act, fold):
         out_ref[0, r] = acc.astype(out_ref.dtype)
 
 
+_TAPS = [(ty, tx) for ty in range(3) for tx in range(3)]
+
+
+def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
+                         Cin, Cout, W, R, act, fold):
+    """Pad-free variant: h_ref is an (1, R+2, W, Cin) Element block of the
+    UNPADDED input at row offset clip(y*R-1, 0, H-R-2). The block is staged
+    once into a (R+2, W+2, Cin) VMEM scratch with the SAME-padding border
+    written in (v_ref: 0, or -norm_shift for the folded-norm path — the
+    POST-scale ring value, exact even for scale==0) and the norm scale
+    applied during staging (once per row instead of 3x per tap); the im2col
+    loop then matches the padded kernel. Kills the per-kernel-boundary
+    jnp.pad that cost ~56 ms/step in the whole-image SID program (pads of
+    custom-call outputs cannot be input-fused into the next kernel)."""
+    if fold:
+        a_ref, t_ref, out_ref, scratch_ref, pad_ref = rest
+    else:
+        out_ref, scratch_ref, pad_ref = rest
+    _stage_padfree(h_ref, pad_ref, v_ref[0],
+                   a_ref[0] if fold else None,
+                   t_ref[0] if fold else None, R=R, W=W, C=Cin)
+    for r in range(R):
+        for t, (ty, tx) in enumerate(_TAPS):
+            scratch_ref[:, t * Cin:(t + 1) * Cin] = \
+                pad_ref[r + ty, tx:tx + W, :]
+        acc = jnp.dot(scratch_ref[...], w_ref[...],
+                      preferred_element_type=jnp.float32)   # (W, Cout)
+        acc = acc + b_ref[0]
+        if act == 'swish':
+            acc = acc * jax.nn.sigmoid(acc)
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
+                             norm_shift=None, rows_per_block: int = 0):
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    if not rows_per_block:
+        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+    R = rows_per_block
+    fold = norm_scale is not None
+    w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)  # k = tap*Cin + i
+    b2 = bias.reshape(1, 1, Cout)
+    v2 = jnp.zeros((1, 1, Cin), x.dtype)
+    b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, Cin), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if fold:
+        # the staged operand carries x*a + t directly (zero ring = the
+        # normalized zero), so the bias stays unfolded and there is no
+        # degenerate -shift/scale ring (cf. the padded path's _ring note)
+        per_b = lambda b, y: (b, 0, 0)
+        extra = [norm_scale.astype(x.dtype)[:, None, :],
+                 norm_shift.astype(x.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, Cin), per_b,
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_padfree, Cin=Cin, Cout=Cout, W=W, R=R,
+                          act=act, fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        grid=(B, H // R),
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(Cin)),
+                         lambda b, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, Cout), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec,
+            v_spec,
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype),
+                        pltpu.VMEM((R + 2, W + 2, Cin), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True] + [False] * (3 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H * W * Cin * Cout,
+            bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),
+            transcendentals=B * H * W * Cout if act else 0),
+    )(x, w2, b2, v2, *extra)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv3x3_pallas(x, kernel, bias, act=None, norm_scale=None,
                    norm_shift=None):
@@ -106,6 +196,15 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
     if not rows_per_block:
         rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
     R = rows_per_block
+    # padfree A/B (isolated, 3.56Mpx rows): WINS Cin>=128 (192->64: 21.3 vs
+    # 23.0 ms incl. the pad; 128->128: 5.7 vs 5.7-6.2) but LOSES Cin=64
+    # (13.0-13.7 vs 12.1-12.3) — the (R+2,W+2,Cin) staging doesn't amortize
+    # at small Cin. 'auto' gates on Cin; '1' forces, '0' disables.
+    pf = os.environ.get('UCDIR_TPU_PADFREE', 'auto')
+    if (pf == '1' or (pf == 'auto' and Cin >= 128)) and H // R >= 2 \
+            and H >= R + 2:
+        return _conv3x3_forward_padfree(x, kernel, bias, act, norm_scale,
+                                        norm_shift, R)
     fold = norm_scale is not None
     hp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)  # k = tap*Cin + i
