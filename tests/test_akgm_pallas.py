@@ -85,6 +85,43 @@ def test_block_padded_matches_reference(rng, fold, monkeypatch):
 
 
 @pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('attw_on', [False, True])
+def test_block_fused_backward_matches_reference(rng, fold, attw_on):
+    from ucdir_tpu.ops.akgm_pallas import _akgm_block_backward, _block_ref
+    h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, H=8, W=16,
+                                                   fold=fold, attw=attw_on)
+    g = jnp.asarray(np.random.default_rng(7).standard_normal(res.shape) * 0.3,
+                    jnp.float32)
+
+    live = [x for x in (h, att, k, b, res) + ((ns, nt) if fold else ())
+            + ((aw,) if attw_on else ())]
+
+    def ref(*xs):
+        base = xs[:5]
+        ns_, nt_ = (xs[5], xs[6]) if fold else (None, None)
+        aw_ = xs[-1] if attw_on else None
+        return _block_ref(*base, G, ns_, nt_, aw_)
+
+    _, vjp = jax.vjp(ref, *live)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _akgm_block_backward(h, att, k, b, res, g, G, ns, nt, aw,
+                                   rows_per_block=2)
+    names = ['dh', 'datt', 'dkernel', 'dbias', 'dres', 'dns', 'dnt', 'dattw']
+    idx = {False: [0, 1, 2, 3, 4], True: [0, 1, 2, 3, 4, 5, 6]}[fold]
+    if attw_on:
+        idx = idx + [7]
+    for w_, i in zip(want, idx):
+        assert got[i] is not None, names[i]
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(w_),
+                                   rtol=2e-3, atol=1e-4, err_msg=names[i])
+    if not fold:
+        assert got[5] is None and got[6] is None
+    if not attw_on:
+        assert got[7] is None
+
+
+@pytest.mark.parametrize('fold', [False, True])
 @pytest.mark.parametrize('R', [2, 4])
 def test_block_padfree_matches_reference(rng, fold, R):
     h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, fold=fold,

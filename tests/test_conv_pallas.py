@@ -9,6 +9,7 @@ the plain XLA composition, which the torch-parity suite pins separately.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,6 +62,31 @@ def test_padfree_two_blocks_boundary(rng):
         got = _conv3x3_forward_padfree(x, k, b, None, rows_per_block=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('act', [None, 'swish'])
+def test_fused_backward_matches_xla(rng, fold, act):
+    from ucdir_tpu.ops.conv_pallas import _conv3x3_backward
+    x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=fold)
+    g = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 8, 16, 24)) * 0.3, jnp.float32)
+    live = (x, k, b) + ((ns, nt) if fold else ())
+
+    def ref(*xs):
+        ns_, nt_ = (xs[3], xs[4]) if fold else (None, None)
+        return _c3_ref(xs[0], xs[1], xs[2], act, ns_, nt_)
+
+    _, vjp = jax.vjp(ref, *live)
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_backward(x, k, b, g, act, ns, nt, rows_per_block=2)
+    names = ['dx', 'dkernel', 'dbias', 'dns', 'dnt']
+    for w_, g_, n_ in zip(want, got, names):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=2e-3, atol=1e-4, err_msg=n_)
+    if not fold:
+        assert got[3] is None and got[4] is None
 
 
 @pytest.mark.parametrize('act', [None, 'swish'])

@@ -441,6 +441,270 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused BACKWARD kernel for the block tail — the TPU counterpart of the
+# reference's hand-written GroupDyConvFunction.backward unfold/fold algebra
+# (/root/reference/model/utils.py:36-71). The XLA-composition custom_vjp
+# backward re-runs the full densified forward (HBM candidate round-trip) to
+# rebuild residuals; this kernel recomputes z row-by-row in VMEM and emits
+# every gradient in ONE pass:
+#   dres  = g (identity, handled by the wrapper)
+#   do    = g * swish'(o),      o = (z*A) @ sel     (z recomputed in VMEM)
+#   dm    = do @ sel^T          (same `sel` operand, contracted on axis 1)
+#   dz    = dm * A;  dzpad staged with SAME-zero borders
+#   dh*   = conv3x3(dzpad, flip(Kd)^T)              (transposed conv)
+#   dKd   = sum_rows im2col(h*)^T @ dz              (accumulated over grid)
+#   datt  = (dm * z) @ P * attw;   dattw += sum (dm*z) @ P * att
+#   dbias = sum_rows dz
+# dz needs a 1-row halo (the transposed conv), so z/do are recomputed for
+# R+2 rows per block ((R+2)/R overhead) from an h* staging with a 2-row halo.
+# ---------------------------------------------------------------------------
+
+
+def _stage_halo2(h_ref, pad_ref, vrow, arow, trow, *, R, W, C):
+    """Stage a (1, R+4, W, C) Element block (row offset
+    clip(y*R-2, 0, H-R-4) of the UNPADDED source) into a (R+4, W+2, C) VMEM
+    scratch holding the SAME-padded view of image rows [y*R-2, y*R+R+2):
+    2-row halo each side (vs _stage_padfree's 1), border rows/cols get vrow,
+    interior rows get the optional folded affine `row*arow + trow`.
+    Requires H >= R+4 and H//R >= 2; the clipped source offsets then resolve
+    to exactly -2 (top block), 0 (interior), +2 (bottom block)."""
+    y = pl.program_id(1)
+    ny = pl.num_programs(1)
+
+    def stage(off, top, bottom):
+        for l in range(R + 4):
+            if (top and l < 2) or (bottom and l >= R + 2):
+                pad_ref[l, :, :] = jnp.broadcast_to(vrow, (W + 2, C))
+                continue
+            row = h_ref[0, l + off]                          # (W, C)
+            if arow is not None:
+                row = row * arow
+            if trow is not None:
+                row = row + trow
+            pad_ref[l, 1:W + 1, :] = row
+            pad_ref[l, 0:1, :] = vrow
+            pad_ref[l, W + 1:W + 2, :] = vrow
+
+    @pl.when(jnp.logical_and(y > 0, y < ny - 1))
+    def _interior():
+        stage(0, False, False)
+
+    @pl.when(y == 0)
+    def _top():
+        stage(-2, True, False)
+
+    @pl.when(jnp.logical_and(y == ny - 1, ny > 1))
+    def _bottom():
+        stage(2, False, True)
+
+
+def _pmat(C: int, G: int, dtype) -> np.ndarray:
+    """P[o, j] = 1 where o % G == j (per-group column sum)."""
+    o = np.arange(C * G)
+    p = np.zeros((C * G, G), np.float32)
+    p[o, o % G] = 1.
+    return p.astype(dtype)
+
+
+def _akgm_block_bwd_kernel(h_ref, g_ref, att_ref, aw_ref, kd_ref, kdf_ref,
+                           bias_ref, sel_ref, p_ref, *rest,
+                           C, G, W, R, fold=False):
+    if fold:
+        a_ref, t_ref = rest[:2]
+        rest = rest[2:]
+    (dxh_ref, datt_ref, dkd_ref, dbias_ref, daw_ref,
+     sc_ref, sc2_ref, xpad_ref, gpad_ref, apad_ref, dzpad_ref) = rest
+    cdt = h_ref.dtype
+    zc = jnp.zeros((1, C), cdt)
+    zg = jnp.zeros((1, G), cdt)
+    _stage_halo2(h_ref, xpad_ref, zc,
+                 a_ref[0] if fold else None,
+                 t_ref[0] if fold else None, R=R, W=W, C=C)
+    # g/att rows [y*R-1, y*R+R+1) with zeros outside the image: rows where
+    # no output exists contribute dz = 0 to the transposed conv / dKd.
+    _stage_padfree(g_ref, gpad_ref, zc, None, None, R=R, W=W, C=C)
+    _stage_padfree(att_ref, apad_ref, zg, None, None, R=R, W=W, C=G)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dkd_ref[0] = jnp.zeros_like(dkd_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+        daw_ref[0] = jnp.zeros_like(daw_ref[0])
+
+    aw = aw_ref[0].astype(jnp.float32)                       # (1, G)
+    for l in range(R + 2):
+        # dz row l = image row y*R-1+l; its 3x3 input window is xpad rows
+        # l..l+2 (xpad row l' = image row y*R-2+l')
+        for t, (ty, tx) in enumerate(_TAPS9):
+            sc_ref[:, t * C:(t + 1) * C] = xpad_ref[l + ty, tx:tx + W, :]
+        z = jnp.dot(sc_ref[...], kd_ref[...],
+                    preferred_element_type=jnp.float32)      # (W, CG)
+        z = z + bias_ref[0]
+        att_raw = apad_ref[l, 1:W + 1, :].astype(jnp.float32)  # (W, G)
+        att = att_raw * aw
+        A = jnp.tile(att, (1, C))                            # (W, CG)
+        # forward rounding: mix runs in the compute dtype
+        m = (z.astype(cdt) * A.astype(cdt))
+        o = jnp.dot(m, sel_ref[...],
+                    preferred_element_type=jnp.float32)      # (W, C)
+        sig = jax.nn.sigmoid(o)
+        do = gpad_ref[l, 1:W + 1, :].astype(jnp.float32) \
+            * sig * (1. + o * (1. - sig))                    # swish'(o)
+        dm = jax.lax.dot_general(
+            do.astype(cdt), sel_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (W, CG)
+        dz = dm * A
+        dzpad_ref[l, 1:W + 1, :] = dz.astype(cdt)
+        dzpad_ref[l, 0:1, :] = jnp.zeros((1, C * G), cdt)
+        dzpad_ref[l, W + 1:W + 2, :] = jnp.zeros((1, C * G), cdt)
+        if 1 <= l <= R:                                      # center rows only
+            q = dm * z                                       # (W, CG)
+            datt = jnp.dot(q.astype(cdt), p_ref[...],
+                           preferred_element_type=jnp.float32)  # (W, G)
+            datt_ref[0, l - 1] = (datt * aw).astype(datt_ref.dtype)
+            daw_ref[0, 0] += jnp.sum(datt * att_raw, axis=0)
+            dbias_ref[0, 0] += jnp.sum(dz, axis=0)
+            dkd_ref[0] += jax.lax.dot_general(
+                sc_ref[...], dz.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (9C, CG)
+    for r in range(R):
+        # dh*[r] = transposed conv: dz rows r-1..r+1 = dzpad rows r..r+2
+        for t, (ty, tx) in enumerate(_TAPS9):
+            sc2_ref[:, t * C * G:(t + 1) * C * G] = \
+                dzpad_ref[r + ty, tx:tx + W, :]
+        dxh = jnp.dot(sc2_ref[...], kdf_ref[...],
+                      preferred_element_type=jnp.float32)    # (W, C)
+        dxh_ref[0, r] = dxh.astype(dxh_ref.dtype)
+
+
+_TAPS9 = [(ty, tx) for ty in range(3) for tx in range(3)]
+
+
+def _akgm_block_backward(h, att_sp, kernel, bias, res, g, nset: int,
+                         norm_scale=None, norm_shift=None, attw=None,
+                         rows_per_block: int = 0):
+    """All gradients of the fused block tail in one Pallas pass. Returns
+    (dh, datt_sp, dkernel, dbias, dres, dns, dnt, dattw) matching
+    _block_bwd's output convention (None for absent optionals)."""
+    B, H, W, C = h.shape
+    G = nset
+    had_attw = attw is not None
+    if attw is None:
+        attw = jnp.ones((B, G), h.dtype)
+    if not rows_per_block:
+        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+    R = rows_per_block
+    fold = norm_scale is not None
+    kd = _densify_kernel(kernel, C, G)                       # (3,3,C,CG)
+    kd2 = kd.reshape(9 * C, C * G).astype(h.dtype)
+    # transposed-conv weights: flip taps, swap in/out channels
+    kdf2 = kd[::-1, ::-1].transpose(0, 1, 3, 2) \
+        .reshape(9 * C * G, C).astype(h.dtype)
+    bias2 = bias.reshape(1, 1, C * G)
+    sel = jnp.asarray(_selection_matrix(C, G, h.dtype))
+    pm = jnp.asarray(_pmat(C, G, h.dtype))
+    if fold:
+        extra = [norm_scale.astype(h.dtype)[:, None, :],
+                 norm_shift.astype(h.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, C), lambda b, y: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+
+    grid = (B, H // R)
+    cdt = h.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H, W, C), cdt),             # dxh (pre-affine)
+        jax.ShapeDtypeStruct((B, H, W, G), att_sp.dtype),    # datt_sp
+        jax.ShapeDtypeStruct((B, 9 * C, C * G), jnp.float32),  # dKd (dense)
+        jax.ShapeDtypeStruct((B, 1, C * G), jnp.float32),    # dbias
+        jax.ShapeDtypeStruct((B, 1, G), jnp.float32),        # dattw
+    )
+    out_specs = (
+        pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, W, G), lambda b, y: (b, y, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9 * C, C * G), lambda b, y: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C * G), lambda b, y: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, y: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    flops = (3 * 2 * B * H * W * 9 * C * C * G          # z, dKd, dx dots
+             + 3 * 2 * B * H * W * C * G * C)           # o, dm, datt dots
+    dxh, datt, dkd_b, dbias_b, daw_b = pl.pallas_call(
+        functools.partial(_akgm_block_bwd_kernel, C=C, G=G, W=W, R=R,
+                          fold=fold),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 4), _Element(W),
+                          _Element(C)),
+                         lambda b, y: (b, jnp.clip(y * R - 2, 0, H - R - 4),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(C)),
+                         lambda b, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(G)),
+                         lambda b, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, C * G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C * G, C), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C * G), lambda b, y: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * G, C), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C * G, G), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + extra_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((W, 9 * C), cdt),
+                        pltpu.VMEM((W, 9 * C * G), cdt),
+                        pltpu.VMEM((R + 4, W + 2, C), cdt),
+                        pltpu.VMEM((R + 2, W + 2, C), cdt),
+                        pltpu.VMEM((R + 2, W + 2, G), cdt),
+                        pltpu.VMEM((R + 2, W + 2, C * G), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True, True] + [False] * (7 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h.dtype.itemsize * B * H * W * (4 * C + 2 * G),
+            transcendentals=B * H * W * C),
+    )(h, g, att_sp, attw.astype(h.dtype)[:, None, :], kd2, kdf2, bias2,
+      sel, pm, *extra)
+
+    # densify is linear: pull dKd back to the grouped kernel layout
+    dkd_sum = dkd_b.sum(0).reshape(3, 3, C, C * G)
+    _, dens_vjp = jax.vjp(lambda k: _densify_kernel(k, C, G), kernel)
+    dkernel, = dens_vjp(dkd_sum.astype(kernel.dtype))
+    dbias = dbias_b.sum(axis=(0, 1)).astype(bias.dtype).reshape(bias.shape)
+    if fold:
+        dh = (dxh * norm_scale[:, None, None, :].astype(dxh.dtype)
+              ).astype(h.dtype)
+        dns = jnp.sum(dxh.astype(jnp.float32) * h.astype(jnp.float32),
+                      axis=(1, 2)).astype(norm_scale.dtype)
+        dnt = jnp.sum(dxh.astype(jnp.float32),
+                      axis=(1, 2)).astype(norm_shift.dtype)
+    else:
+        dh, dns, dnt = dxh.astype(h.dtype), None, None
+    daw = daw_b[:, 0].astype(attw.dtype) if had_attw else None
+    return (dh, datt.astype(att_sp.dtype), dkernel, dbias, g.astype(res.dtype),
+            dns, dnt, daw)
+
+
+# ---------------------------------------------------------------------------
 # ALIGNED-halo variant of the fused block tail (see conv_pallas.py for the
 # rationale: Element-offset halo DMA never pipelines; three standard aligned
 # R-row blocks at indices (y, y+1, y+2) of a rows-padded-by-R input do).
@@ -696,8 +960,24 @@ def _block_fwd(h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
     return out, (h, att_sp, kernel, bias, res, norm_scale, norm_shift, attw)
 
 
+def _use_pallas_bwd(H, W, C, R):
+    """Fused-backward dispatch gate: real TPU, Element specs available, the
+    2-row-halo staging fits (H >= R+4, >=2 row blocks), and the (W, 9CG)
+    transposed-conv scratch stays VMEM-sane (train-crop scale)."""
+    import os
+    if os.environ.get('UCDIR_TPU_PALLAS_BWD', 'auto') == '0':
+        return False
+    return (HAS_ELEMENT and jax.devices()[0].platform == 'tpu'
+            and H % R == 0 and H >= R + 4 and H // R >= 2 and W <= 1024)
+
+
 def _block_bwd(nset, residuals, g):
     h, att_sp, kernel, bias, res, ns, nt, aw = residuals
+    B, H, W, C = h.shape
+    R = next(r for r in (4, 2, 1) if H % r == 0)
+    if _use_pallas_bwd(H, W, C, R):
+        return _akgm_block_backward(h, att_sp, kernel, bias, res, g, nset,
+                                    ns, nt, aw, R)
     args = [h, att_sp, kernel, bias, res]
     opt = [ns, nt, aw]
     live = [i for i, a in enumerate(opt) if a is not None]

@@ -358,6 +358,158 @@ def _conv3x3_forward_aligned(x, kernel, bias, act=None, norm_scale=None,
     )(hp, hp, hp, w2, b2, *extra)
 
 
+# ---------------------------------------------------------------------------
+# Fused BACKWARD kernel — one Pallas pass for all conv gradients (the same
+# role as the AKGM block's _akgm_block_bwd_kernel; see akgm_pallas.py for the
+# derivation). dz needs a 1-row halo for the transposed conv, so with an
+# activation z is recomputed for R+2 rows per block from a 2-row-halo x̂
+# staging; with act=None dz == g and the staged g doubles as dzpad.
+# ---------------------------------------------------------------------------
+
+
+def _conv_bwd_kernel(h_ref, g_ref, w_ref, wf_ref, b_ref, *rest,
+                     Cin, Cout, W, R, act, fold):
+    from ucdir_tpu.ops.akgm_pallas import _stage_halo2, _stage_padfree
+    if fold:
+        a_ref, t_ref = rest[:2]
+        rest = rest[2:]
+    (dxh_ref, dw_ref, dbias_ref,
+     sc_ref, sc2_ref, xpad_ref, gpad_ref) = rest[:7]
+    dzpad_ref = rest[7] if act else gpad_ref
+    cdt = h_ref.dtype
+    zc = jnp.zeros((1, Cin), cdt)
+    zo = jnp.zeros((1, Cout), cdt)
+    _stage_halo2(h_ref, xpad_ref, zc,
+                 a_ref[0] if fold else None,
+                 t_ref[0] if fold else None, R=R, W=W, C=Cin)
+    _stage_padfree(g_ref, gpad_ref, zo, None, None, R=R, W=W, C=Cout)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    for l in range(R + 2):
+        if act is None and not (1 <= l <= R):
+            continue                       # dz == g; only center rows matter
+        for t, (ty, tx) in enumerate(_TAPS):
+            sc_ref[:, t * Cin:(t + 1) * Cin] = xpad_ref[l + ty, tx:tx + W, :]
+        if act:
+            z = jnp.dot(sc_ref[...], w_ref[...],
+                        preferred_element_type=jnp.float32) + b_ref[0]
+            sig = jax.nn.sigmoid(z)
+            dz = gpad_ref[l, 1:W + 1, :].astype(jnp.float32) \
+                * sig * (1. + z * (1. - sig))                # swish'(z)
+            dzpad_ref[l, 1:W + 1, :] = dz.astype(cdt)
+            dzpad_ref[l, 0:1, :] = jnp.zeros((1, Cout), cdt)
+            dzpad_ref[l, W + 1:W + 2, :] = jnp.zeros((1, Cout), cdt)
+            dz_c = dz.astype(cdt)
+        else:
+            dz_c = gpad_ref[l, 1:W + 1, :]
+        if 1 <= l <= R:
+            dbias_ref[0, 0] += jnp.sum(dz_c.astype(jnp.float32), axis=0)
+            dw_ref[0] += jax.lax.dot_general(
+                sc_ref[...], dz_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (9Cin, Cout)
+    for r in range(R):
+        for t, (ty, tx) in enumerate(_TAPS):
+            sc2_ref[:, t * Cout:(t + 1) * Cout] = \
+                dzpad_ref[r + ty, tx:tx + W, :]
+        dxh = jnp.dot(sc2_ref[...], wf_ref[...],
+                      preferred_element_type=jnp.float32)    # (W, Cin)
+        dxh_ref[0, r] = dxh.astype(dxh_ref.dtype)
+
+
+def _conv3x3_backward(x, kernel, bias, g, act=None, norm_scale=None,
+                      norm_shift=None, rows_per_block: int = 0):
+    """All gradients of the fused conv in one Pallas pass. Returns
+    (dx, dkernel, dbias, dns, dnt)."""
+    from ucdir_tpu.ops import akgm_pallas as _ak
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    if not rows_per_block:
+        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+    R = rows_per_block
+    fold = norm_scale is not None
+    w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)
+    wf2 = kernel[::-1, ::-1].transpose(0, 1, 3, 2) \
+        .reshape(9 * Cout, Cin).astype(x.dtype)
+    b2 = bias.reshape(1, 1, Cout).astype(x.dtype)
+    if fold:
+        extra = [norm_scale.astype(x.dtype)[:, None, :],
+                 norm_shift.astype(x.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, Cin), lambda b, y: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+    cdt = x.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H, W, Cin), cdt),           # dxh (pre-affine)
+        jax.ShapeDtypeStruct((B, 9 * Cin, Cout), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, Cout), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, R, W, Cin), lambda b, y: (b, y, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9 * Cin, Cout), lambda b, y: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Cout), lambda b, y: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    scratch = [pltpu.VMEM((W, 9 * Cin), cdt),
+               pltpu.VMEM((W, 9 * Cout), cdt),
+               pltpu.VMEM((R + 4, W + 2, Cin), cdt),
+               pltpu.VMEM((R + 2, W + 2, Cout), cdt)]
+    if act:
+        scratch.append(pltpu.VMEM((R + 2, W + 2, Cout), cdt))
+    nconv = 3 if act else 2
+    dxh, dw_b, dbias_b = pl.pallas_call(
+        functools.partial(_conv_bwd_kernel, Cin=Cin, Cout=Cout, W=W, R=R,
+                          act=act, fold=fold),
+        out_shape=out_shapes,
+        grid=(B, H // R),
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 4), _Element(W),
+                          _Element(Cin)),
+                         lambda b, y: (b, jnp.clip(y * R - 2, 0, H - R - 4),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(Cout)),
+                         lambda b, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                       0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, Cout), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cout, Cin), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + extra_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True, True] + [False] * (3 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H * W * Cin * Cout * nconv,
+            bytes_accessed=x.dtype.itemsize * B * H * W * (2 * Cin + Cout),
+            transcendentals=B * H * W * Cout if act else 0),
+    )(x, g, w2, wf2, b2, *extra)
+
+    dkernel = dw_b.sum(0).reshape(kernel.shape).astype(kernel.dtype)
+    dbias = dbias_b.sum(axis=(0, 1)).astype(bias.dtype).reshape(bias.shape)
+    if fold:
+        dx = (dxh * norm_scale[:, None, None, :].astype(dxh.dtype)
+              ).astype(x.dtype)
+        dns = jnp.sum(dxh.astype(jnp.float32) * x.astype(jnp.float32),
+                      axis=(1, 2)).astype(norm_scale.dtype)
+        dnt = jnp.sum(dxh.astype(jnp.float32),
+                      axis=(1, 2)).astype(norm_shift.dtype)
+        return dx, dkernel, dbias, dns, dnt
+    return dxh.astype(x.dtype), dkernel, dbias, None, None
+
+
 def _c3_ref(x, kernel, bias, act, norm_scale, norm_shift):
     if norm_scale is not None:
         x = x * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
@@ -371,6 +523,13 @@ def _c3_fwd(x, kernel, bias, act, norm_scale, norm_shift):
 
 def _c3_bwd(act, residuals, g):
     x, kernel, bias, ns, nt = residuals
+    from ucdir_tpu.ops.akgm_pallas import _use_pallas_bwd
+    B, H, W, Cin = x.shape
+    R = next(r for r in (4, 2, 1) if H % r == 0)
+    if _use_pallas_bwd(H, W, Cin, R):
+        dx, dk, db, dns, dnt = _conv3x3_backward(x, kernel, bias, g, act,
+                                                 ns, nt, R)
+        return dx, dk, db, dns, dnt
     if ns is None:
         _, vjp = jax.vjp(lambda x, k, b: conv3x3_xla(x, k, b, act),
                          x, kernel, bias)
