@@ -89,6 +89,43 @@ def test_fused_backward_matches_xla(rng, fold, act):
         assert got[3] is None and got[4] is None
 
 
+@pytest.mark.parametrize('R', [2, 4])
+def test_preact_head_matches_xla(rng, R):
+    from ucdir_tpu.ops.conv_pallas import _c3p_ref
+    x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=True)
+    want = _c3p_ref(x, k, b, ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward_padfree(x, k, b, None, ns, nt,
+                                       rows_per_block=R, pre_act='swish')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_upconv2x_exact_vs_resize_conv(rng):
+    from ucdir_tpu.ops.conv_pallas import upconv2x, conv3x3_xla
+    x, k, b, _, _ = _data(rng, B=2, H=6, W=10, Cin=8, Cout=12)
+    up = jax.image.resize(x, (2, 12, 20, 8), method='nearest')
+    want = conv3x3_xla(up, k, b, None)
+    got = upconv2x(x, k, b, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upconv2x_pallas_path_matches(rng):
+    from ucdir_tpu.ops.conv_pallas import (_conv3x3_forward, _pack_up_kernel,
+                                           depth_to_space2, conv3x3_xla)
+    x, k, b, _, _ = _data(rng, B=1, H=8, W=16, Cin=8, Cout=8)
+    up = jax.image.resize(x, (1, 16, 32, 8), method='nearest')
+    want = conv3x3_xla(up, k, b, None)
+    kp = _pack_up_kernel(k)
+    bp = jnp.tile(b, (4,))
+    with pltpu.force_tpu_interpret_mode():
+        y = _conv3x3_forward(x, kp, bp, None)
+    got = depth_to_space2(y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize('act', [None, 'swish'])
 def test_conv1x1_matches_xla(rng, act):
     x, _, _, _, _ = _data(rng)

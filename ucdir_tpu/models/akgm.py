@@ -51,12 +51,14 @@ class ResnetBlockDY3h(nn.Module):
         # the normalized tensor never materializes in HBM. Other group counts
         # keep the standard module.
         if self.norm_groups == 1:
-            a1, t1 = _norm1_affine(x, *_NormParams(c, name='norm1')())
+            a1, t1 = _norm1_affine(x, *_NormParams(c, name='norm1')(),
+                                   use_pallas=self.use_pallas)
             h = PallasConv3(self.dim_out, act='swish',
                             use_pallas=self.use_pallas,
                             name='conv1')(x, norm_scale=a1, norm_shift=t1)
             a2, t2 = _norm1_affine(
-                h, *_NormParams(self.dim_out, name='norm2')())
+                h, *_NormParams(self.dim_out, name='norm2')(),
+                use_pallas=self.use_pallas)
         else:
             h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                              name='norm1')(x)
@@ -114,12 +116,17 @@ class _NormParams(nn.Module):
         return scale, bias
 
 
-def _norm1_affine(x, scale, bias, eps: float = 1e-5):
+def _norm1_affine(x, scale, bias, eps: float = 1e-5,
+                  use_pallas: bool = False):
     """GroupNorm(num_groups=1) as a per-(batch, channel) affine: returns
-    (a, t) with norm(x) == x*a + t (stats over H, W, C in f32)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3))
-    var = jnp.mean(jnp.square(xf), axis=(1, 2, 3)) - jnp.square(mean)
+    (a, t) with norm(x) == x*a + t (stats over H, W, C in f32). The stats
+    run as ONE HBM pass (ops/stats_pallas.py) — XLA emits mean/var as two
+    full-tensor loop fusions at the big eval scales."""
+    from ucdir_tpu.ops.stats_pallas import gn1_stats
+    n = x.shape[1] * x.shape[2] * x.shape[3]
+    s, q = gn1_stats(x, use_pallas=use_pallas)            # (B, C) f32 each
+    mean = jnp.sum(s, axis=1) / n
+    var = jnp.sum(q, axis=1) / n - jnp.square(mean)
     rstd = jax.lax.rsqrt(var + eps)                       # (B,)
     a = scale[None, :].astype(jnp.float32) * rstd[:, None]
     t = (bias[None, :].astype(jnp.float32)

@@ -187,13 +187,27 @@ class DY3h(nn.Module):
             else:
                 x = Upsample(dim_out, use_pallas=self.use_pallas, name=name)(x)
 
-        # final head: GN -> Swish -> Dropout -> Conv3 (ucdir.py:266-268)
-        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name='final_conv_norm')(x)
-        x = swish(x)
+        # final head: GN -> Swish -> Dropout -> Conv3 (ucdir.py:266-268).
+        # With dropout==0 (the shipped configs) the whole head folds into one
+        # pre-activation conv kernel: one-pass stats + staged swish(x*a+t)
+        # (ops/conv_pallas.head_conv3x3) — no normalized/activated tensor in
+        # HBM. Dropout in between forces the unfolded path.
         if self.dropout > 0:
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5,
+                             name='final_conv_norm')(x)
+            x = swish(x)
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
-        return PallasConv3(self.out_channel, use_pallas=self.use_pallas,
-                           name='final_conv_conv')(x)
+            return PallasConv3(self.out_channel, use_pallas=self.use_pallas,
+                               name='final_conv_conv')(x)
+        from ucdir_tpu.models.akgm import _norm1_affine, _NormParams
+        from ucdir_tpu.ops.conv_pallas import head_conv3x3
+        a, t_ = _norm1_affine(x, *_NormParams(x.shape[-1],
+                                              name='final_conv_norm')(),
+                              use_pallas=self.use_pallas)
+        from ucdir_tpu.models.layers import _Conv3Params
+        k, b = _Conv3Params(x.shape[-1], self.out_channel,
+                            name='final_conv_conv')()
+        return head_conv3x3(x, k, b, a, t_, use_pallas=self.use_pallas)
 
     def __call__(self, x, noise_level, guide, deterministic: bool = True,
                  guide_maps=None):

@@ -132,16 +132,32 @@ class PallasConv1(nn.Module):
 
 
 class Upsample(nn.Module):
-    """nearest x2 + conv3 (ucdir.py:53-60)."""
+    """nearest x2 + conv3 (ucdir.py:53-60), computed as ONE phase-packed
+    conv at SOURCE resolution + depth-to-space (ops/conv_pallas.upconv2x):
+    exact, 2x fewer MXU FLOPs, and the 2x-upsampled map never hits HBM."""
     dim: int
     use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method='nearest')
-        return PallasConv3(self.dim, use_pallas=self.use_pallas,
-                           name='conv')(x)
+        from ucdir_tpu.ops.conv_pallas import upconv2x
+        k, b = _Conv3Params(x.shape[-1], self.dim, name='conv')()
+        return upconv2x(x, k, b, use_pallas=self.use_pallas)
+
+
+class _Conv3Params(nn.Module):
+    """nn.Conv-shaped parameter tree (kernel/bias) without the conv itself —
+    keeps Upsample's checkpoint layout identical while the computation runs
+    through the phase-packed upconv2x."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, self.cin, self.cout))
+        bias = self.param('bias', nn.initializers.zeros, (self.cout,))
+        return kernel, bias
 
 
 class Downsample(nn.Module):

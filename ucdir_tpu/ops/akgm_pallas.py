@@ -139,7 +139,8 @@ akgm_mix_pallas.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 
-def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C):
+def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C,
+                   act=None):
     """Stage an UNPADDED (1, R+2, W, C) Element block (row offset
     clip(y*R-1, 0, H-R-2) of the source) into a (R+2, W+2, C) VMEM scratch
     holding the SAME-padding view: border positions get vrow, interior rows
@@ -163,6 +164,11 @@ def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C):
                 row = row * arow
             if trow is not None:
                 row = row + trow
+            if act == 'swish':
+                # pre-activation fold (GN -> swish -> conv heads): the ring
+                # stays exact because swish(normalized zero) == swish(0) == 0
+                row = row * jax.nn.sigmoid(row.astype(jnp.float32)) \
+                    .astype(row.dtype)
             pad_ref[l, 1:W + 1, :] = row
             pad_ref[l, 0:1, :] = vrow
             pad_ref[l, W + 1:W + 2, :] = vrow

@@ -17,6 +17,7 @@ import os as _os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -83,7 +84,7 @@ _TAPS = [(ty, tx) for ty in range(3) for tx in range(3)]
 
 
 def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
-                         Cin, Cout, W, R, act, fold):
+                         Cin, Cout, W, R, act, fold, pre_act=None):
     """Pad-free variant: h_ref is an (1, R+2, W, Cin) Element block of the
     UNPADDED input at row offset clip(y*R-1, 0, H-R-2). The block is staged
     once into a (R+2, W+2, Cin) VMEM scratch with the SAME-padding border
@@ -99,7 +100,8 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
         out_ref, scratch_ref, pad_ref = rest
     _stage_padfree(h_ref, pad_ref, v_ref[0],
                    a_ref[0] if fold else None,
-                   t_ref[0] if fold else None, R=R, W=W, C=Cin)
+                   t_ref[0] if fold else None, R=R, W=W, C=Cin,
+                   act=pre_act)
     for r in range(R):
         for t, (ty, tx) in enumerate(_TAPS):
             scratch_ref[:, t * Cin:(t + 1) * Cin] = \
@@ -113,7 +115,8 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
 
 
 def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
-                             norm_shift=None, rows_per_block: int = 0):
+                             norm_shift=None, rows_per_block: int = 0,
+                             pre_act=None):
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if not rows_per_block:
@@ -141,7 +144,7 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
 
     return pl.pallas_call(
         functools.partial(_conv_kernel_padfree, Cin=Cin, Cout=Cout, W=W, R=R,
-                          act=act, fold=fold),
+                          act=act, fold=fold, pre_act=pre_act),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         grid=(B, H // R),
         in_specs=[
@@ -636,6 +639,112 @@ def conv1x1(x, kernel, bias, act=None, use_pallas=False):
 # the (W, 9*Cin) im2col scratch guard below.
 _MAX_WIDTH = int(_os.environ.get('UCDIR_TPU_CONV_MAX_W', '2304'))
 _MAX_SCRATCH = int(_os.environ.get('UCDIR_TPU_CONV_SCRATCH_MB', '8')) * 2 ** 20
+
+
+@jax.custom_vjp
+def conv3x3_preact_pallas(x, kernel, bias, norm_scale, norm_shift):
+    """GN(1)-folded `conv3x3(swish(x*a + t)) + bias` — the reference's
+    Block head (GroupNorm -> Swish -> Conv, ucdir.py:75-83) as one kernel:
+    the swish rides the pad-free staging (ring stays exact: swish(0) == 0),
+    so neither the normalized nor the activated tensor ever hits HBM."""
+    return _conv3x3_forward_padfree(x, kernel, bias, None, norm_scale,
+                                    norm_shift, pre_act='swish')
+
+
+def _c3p_ref(x, kernel, bias, norm_scale, norm_shift):
+    xh = x * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
+    return conv3x3_xla(xh * jax.nn.sigmoid(xh), kernel, bias, None)
+
+
+def _c3p_fwd(x, kernel, bias, ns, nt):
+    return conv3x3_preact_pallas(x, kernel, bias, ns, nt), \
+        (x, kernel, bias, ns, nt)
+
+
+def _c3p_bwd(residuals, g):
+    _, vjp = jax.vjp(_c3p_ref, *residuals)
+    return vjp(g)
+
+
+conv3x3_preact_pallas.defvjp(_c3p_fwd, _c3p_bwd)
+
+
+def head_conv3x3(x, kernel, bias, norm_scale, norm_shift, use_pallas=False):
+    """Dispatching GN(1)+swish+conv head (see conv3x3_preact_pallas)."""
+    import os
+    B, H, W, Cin = x.shape
+    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    R = next(r for r in (4, 2, 1) if H % r == 0)
+    ok = (use_pallas and HAS_ELEMENT
+          and jax.devices()[0].platform == 'tpu'
+          and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
+          and min(H, W) >= min_dim and W <= _MAX_WIDTH
+          and Cin <= 1024 and kernel.shape[-1] <= 512
+          and H // R >= 2 and H >= R + 2
+          and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
+    if ok:
+        out = conv3x3_preact_pallas(x, kernel, bias, norm_scale, norm_shift)
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, 'pallas_out')
+    return _c3p_ref(x, kernel, bias, norm_scale, norm_shift)
+
+
+# nearest-x2 + 3x3 SAME conv == a phase-packed conv at SOURCE resolution:
+# output row 2y+py reads source rows {y-1, y} (py=0) / {y, y+1} (py=1) with
+# the duplicated taps' weights SUMMED (nearest repeats rows/cols, so original
+# taps ty=1,2 hit the same source row for py=0, etc). The four phases pack
+# into one (3,3,Cin,4*Cout) kernel -> ONE conv at source res (2x fewer MXU
+# FLOPs than convolving the materialized 2x map: 36 vs 72 MACs/src px) and
+# the 4x-channel output depth-to-spaces back. Exact — not an approximation.
+_PHASE_M = np.array([[[1, 0, 0], [0, 1, 1], [0, 0, 0]],     # py/px == 0
+                     [[0, 0, 0], [1, 1, 0], [0, 0, 1]]], np.float32)
+
+
+def _pack_up_kernel(kernel):
+    """(3,3,Cin,Cout) -> (3,3,Cin,4*Cout) phase-packed (phase-major lanes:
+    packed output channel = (py*2+px)*Cout + o)."""
+    m = jnp.asarray(_PHASE_M, kernel.dtype)                 # (2, 3, 3)
+    k = jnp.einsum('pay,yxio,qbx->abipqo', m,
+                   kernel, m)                               # (3,3,Cin,2,2,Cout)
+    C4 = 4 * kernel.shape[-1]
+    return k.reshape(k.shape[0], k.shape[1], k.shape[2], C4)
+
+
+def depth_to_space2(y):
+    """(B, H, W, 4*C) phase-major -> (B, 2H, 2W, C)."""
+    B, H, W, C4 = y.shape
+    C = C4 // 4
+    y = y.reshape(B, H, W, 2, 2, C)
+    y = y.transpose(0, 1, 3, 2, 4, 5)                       # (B, H, 2, W, 2, C)
+    return y.reshape(B, 2 * H, 2 * W, C)
+
+
+def upconv2x(x, kernel, bias, use_pallas=False):
+    """nearest-x2 upsample + 3x3 SAME conv, as one phase-packed conv at
+    source resolution (reference: Upsample, ucdir.py:53-60). Dispatches the
+    packed conv through the Pallas kernel with its own caps (the packed
+    4*Cout exceeds conv3x3's lane cap by design)."""
+    import os
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    kp = _pack_up_kernel(kernel).astype(x.dtype)
+    bp = jnp.tile(bias, (4,)).astype(x.dtype)
+    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    ok = (use_pallas and HAS_ELEMENT
+          and jax.devices()[0].platform == 'tpu'
+          and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
+          # the OUTPUT is 2H x 2W — gate on the output scale like conv3x3
+          and 2 * min(H, W) >= min_dim and W <= _MAX_WIDTH
+          and Cin <= 1024 and 4 * Cout <= 2048
+          and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH
+          and W * 4 * Cout * 4 <= 2 ** 23)
+    if ok:
+        y = conv3x3_pallas(x, kp, bp, None, None, None)
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, 'pallas_out')
+    else:
+        y = conv3x3_xla(x, kp, bp, None)
+    return depth_to_space2(y)
 
 
 def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
