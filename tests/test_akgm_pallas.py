@@ -132,3 +132,17 @@ def test_block_padfree_matches_reference(rng, fold, R):
                                           rows_per_block=R)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('R', [1, 2, 4])
+def test_block_xcol_matches_reference(rng, fold, R, monkeypatch):
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '1')
+    h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, fold=fold,
+                                                   attw=True)
+    want = _block_ref(h, att, k, b, res, G, ns, nt, aw)
+    with pltpu.force_tpu_interpret_mode():
+        got = _akgm_block_forward_padfree(h, att, k, b, res, G, ns, nt, aw,
+                                          rows_per_block=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -54,6 +54,31 @@ def test_padfree_forward_matches_xla(rng, fold, R):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('R', [1, 2, 4])
+def test_xcol_forward_matches_xla(rng, fold, R, monkeypatch):
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '1')
+    x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=fold)
+    want = _c3_ref(x, k, b, 'swish', ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward_padfree(x, k, b, 'swish', ns, nt,
+                                       rows_per_block=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_xcol_preact_matches_xla(rng, monkeypatch):
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '1')
+    from ucdir_tpu.ops.conv_pallas import _c3p_ref
+    x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=True)
+    want = _c3p_ref(x, k, b, ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _conv3x3_forward_padfree(x, k, b, None, ns, nt,
+                                       rows_per_block=2, pre_act='swish')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_padfree_two_blocks_boundary(rng):
     # ny == 2: both boundary branches, no interior program
     x, k, b, ns, nt = _data(rng, H=8, fold=False)
@@ -124,6 +149,36 @@ def test_upconv2x_pallas_path_matches(rng):
     got = depth_to_space2(y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('R', [1, 2, 4])
+@pytest.mark.parametrize('fold', [False, True])
+def test_downconv_matches_xla(rng, R, fold):
+    from ucdir_tpu.ops.conv_pallas import _downconv_forward, downconv_xla
+    x, k, b, ns, nt = _data(rng, B=2, H=16, W=24, Cin=8, Cout=16, fold=fold)
+    want = downconv_xla(x, k, b, ns, nt)
+    with pltpu.force_tpu_interpret_mode():
+        got = _downconv_forward(x, k, b, ns, nt, R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_downconv_gradient(rng):
+    from ucdir_tpu.ops.conv_pallas import downconv2x_pallas, downconv_xla
+    x, k, b, _, _ = _data(rng, B=1, H=8, W=12, Cin=8, Cout=8)
+
+    def lk(x, k, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(downconv2x_pallas(x, k, b, None, None) ** 2)
+
+    def lr(x, k, b):
+        return jnp.sum(downconv_xla(x, k, b) ** 2)
+
+    gk = jax.grad(lk, (0, 1, 2))(x, k, b)
+    gr = jax.grad(lr, (0, 1, 2))(x, k, b)
+    for a, c in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize('act', [None, 'swish'])

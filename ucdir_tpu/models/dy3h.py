@@ -161,7 +161,8 @@ class DY3h(nn.Module):
                     resname=self.resname, use_pallas=self.use_pallas,
                     name=name)(x, t, guide, deterministic, gm.get(name))
             else:
-                x = Downsample(dim_out, name=name)(x)
+                x = Downsample(dim_out, use_pallas=self.use_pallas,
+                               name=name)(x)
             feats.append(x)
 
         x = block_cls(mid_channel, mid_channel, nl_emb_dim=nlc,

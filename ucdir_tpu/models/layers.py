@@ -161,12 +161,16 @@ class _Conv3Params(nn.Module):
 
 
 class Downsample(nn.Module):
-    """stride-2 conv3 (ucdir.py:63-69)."""
+    """stride-2 conv3 (ucdir.py:63-69), via the half-width stride-2
+    x-im2col Pallas kernel at the big scales (ops/conv_pallas.downconv2x)."""
     dim: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=1, name='conv')(x)
+        from ucdir_tpu.ops.conv_pallas import downconv2x
+        k, b = _Conv3Params(x.shape[-1], self.dim, name='conv')()
+        return downconv2x(x, k, b, use_pallas=self.use_pallas)
 
 
 class Block(nn.Module):

@@ -42,6 +42,13 @@ from ucdir_tpu.ops.akgm import akgm_mix_reference, _densify_kernel
 from ucdir_tpu.ops import vmem_limit_bytes as _vmem_limit
 
 
+def _use_xcol() -> bool:
+    """x-only im2col staging (see _stage_xcol): trade the 9-tap per-output-
+    row scratch stores for 3 stores per staged row + three K=3C dots."""
+    import os
+    return os.environ.get('UCDIR_TPU_XCOL', '0') == '1'
+
+
 def _selection_matrix(C: int, G: int, dtype) -> np.ndarray:
     """S[o, i] = 1 where o // G == i (candidate-sum selection)."""
     o = np.arange(C * G)
@@ -172,6 +179,55 @@ def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C,
             pad_ref[l, 1:W + 1, :] = row
             pad_ref[l, 0:1, :] = vrow
             pad_ref[l, W + 1:W + 2, :] = vrow
+
+    @pl.when(jnp.logical_and(y > 0, y < ny - 1))
+    def _interior():
+        stage(0, False, False)
+
+    @pl.when(y == 0)
+    def _top():
+        stage(1, True, ny == 1)
+
+    @pl.when(jnp.logical_and(y == ny - 1, ny > 1))
+    def _bottom():
+        stage(-1, False, True)
+
+
+def _stage_xcol(h_ref, xcol_ref, vrow, arow, trow=None, *, R, W, C,
+                act=None):
+    """Stage an UNPADDED (1, R+2, W, C) Element block directly as an x-only
+    im2col: xcol[l, :, tx*C:(tx+1)*C] = SAME-padded row l, cols [tx, tx+W).
+    3 stores per staged row replace the (R+2)-row pad staging PLUS the 9
+    tap stores per OUTPUT row of the tap-im2col formulation (3(R+2) vs
+    (R+2)+9R row stores per block) — the measured floor of the C=64 kernels
+    is scratch-store traffic, not the MXU. Each output row then contracts
+    three K=3C dots (w rows [3C*ty, 3C*(ty+1))) instead of one K=9C dot.
+    Same border/affine/activation semantics as _stage_padfree."""
+    y = pl.program_id(1)
+    ny = pl.num_programs(1)
+
+    def stage(off, top, bottom):
+        for l in range(R + 2):
+            if (top and l == 0) or (bottom and l == R + 1):
+                for t in range(3):
+                    xcol_ref[l, :, t * C:(t + 1) * C] = \
+                        jnp.broadcast_to(vrow, (W, C))
+                continue
+            row = h_ref[0, l - off]                          # (W, C)
+            if arow is not None:
+                row = row * arow
+            if trow is not None:
+                row = row + trow
+            if act == 'swish':
+                row = row * jax.nn.sigmoid(row.astype(jnp.float32)) \
+                    .astype(row.dtype)
+            # tx=1 (center) = the row itself; tx=0 = [v, row[:-1]];
+            # tx=2 = [row[1:], v]
+            xcol_ref[l, :, C:2 * C] = row
+            xcol_ref[l, 1:W, 0:C] = row[0:W - 1]
+            xcol_ref[l, 0:1, 0:C] = vrow
+            xcol_ref[l, 0:W - 1, 2 * C:3 * C] = row[1:W]
+            xcol_ref[l, W - 1:W, 2 * C:3 * C] = vrow
 
     @pl.when(jnp.logical_and(y > 0, y < ny - 1))
     def _interior():
@@ -346,24 +402,39 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
 
 def _akgm_block_kernel_padfree(h_ref, att_ref, aw_ref, kd_ref, bias_ref,
                                sel_ref, res_ref, v_ref, *rest,
-                               C, G, W, R, fold=False):
+                               C, G, W, R, fold=False, xcol=False):
     """Pad-free block tail: stages the SAME-padding view in VMEM (see
     _stage_padfree) so the jnp.pad producer — which XLA cannot input-fuse
     when h is itself a custom-call output, leaving a full-tensor pad op
-    between chained kernels — disappears from the program."""
+    between chained kernels — disappears from the program.
+    xcol=True stages the x-only im2col instead (see _stage_xcol) and
+    contracts three K=3C dots per row — ~2.5x fewer scratch stores."""
     if fold:
-        a_ref, t_ref, out_ref, scratch_ref, pad_ref = rest
+        a_ref, t_ref, out_ref, scratch_ref = rest[:4]
     else:
-        out_ref, scratch_ref, pad_ref = rest
-    _stage_padfree(h_ref, pad_ref, v_ref[0],
-                   a_ref[0] if fold else None,
-                   t_ref[0] if fold else None, R=R, W=W, C=C)
+        out_ref, scratch_ref = rest[:2]
+    pad_ref = rest[-1] if not xcol else None
+    arow = a_ref[0] if fold else None
+    trow = t_ref[0] if fold else None
+    if xcol:
+        _stage_xcol(h_ref, scratch_ref, v_ref[0], arow, trow, R=R, W=W, C=C)
+    else:
+        _stage_padfree(h_ref, pad_ref, v_ref[0], arow, trow, R=R, W=W, C=C)
     for r in range(R):
-        for t, (ty, tx) in enumerate(
-                [(y, x) for y in range(3) for x in range(3)]):
-            scratch_ref[:, t * C:(t + 1) * C] = pad_ref[r + ty, tx:tx + W, :]
-        acc = jnp.dot(scratch_ref[...], kd_ref[...],
-                      preferred_element_type=jnp.float32)   # (W, CG)
+        if xcol:
+            acc = jnp.dot(scratch_ref[r], kd_ref[0:3 * C, :],
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(scratch_ref[r + 1], kd_ref[3 * C:6 * C, :],
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(scratch_ref[r + 2], kd_ref[6 * C:9 * C, :],
+                           preferred_element_type=jnp.float32)  # (W, CG)
+        else:
+            for t, (ty, tx) in enumerate(
+                    [(y, x) for y in range(3) for x in range(3)]):
+                scratch_ref[:, t * C:(t + 1) * C] = \
+                    pad_ref[r + ty, tx:tx + W, :]
+            acc = jnp.dot(scratch_ref[...], kd_ref[...],
+                          preferred_element_type=jnp.float32)   # (W, CG)
         acc = acc + bias_ref[0]
         att = att_ref[0, r] * aw_ref[0]                     # (W, G) * (1, G)
         att_exp = jnp.tile(att, (1, C))
@@ -382,7 +453,10 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
     if attw is None:
         attw = jnp.ones((B, G), h.dtype)
     if not rows_per_block:
-        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+        import os as _o
+        pref = int(_o.environ.get('UCDIR_TPU_AKGM_R', '4'))
+        rows_per_block = next(r for r in (pref, 4, 2, 1)
+                              if H % r == 0 and H >= r + 2 and H // r >= 2)
     R = rows_per_block
     fold = norm_scale is not None
     kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
@@ -407,9 +481,13 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
 
     grid = (B, H // R)
     flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
+    xcol = _use_xcol()
+    scratch = ([pltpu.VMEM((R + 2, W, 3 * C), h.dtype)] if xcol else
+               [pltpu.VMEM((W, 9 * C), h.dtype),
+                pltpu.VMEM((R + 2, W + 2, C), h.dtype)])
     return pl.pallas_call(
         functools.partial(_akgm_block_kernel_padfree, C=C, G=G, W=W, R=R,
-                          fold=fold),
+                          fold=fold, xcol=xcol),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
         grid=grid,
         in_specs=[
@@ -433,8 +511,7 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
         ] + extra_specs,
         out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype),
-                        pltpu.VMEM((R + 2, W + 2, C), h.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
             allow_input_fusion=[True] + [False] * (7 + len(extra))),

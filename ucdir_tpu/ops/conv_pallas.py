@@ -84,7 +84,8 @@ _TAPS = [(ty, tx) for ty in range(3) for tx in range(3)]
 
 
 def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
-                         Cin, Cout, W, R, act, fold, pre_act=None):
+                         Cin, Cout, W, R, act, fold, pre_act=None,
+                         xcol=False):
     """Pad-free variant: h_ref is an (1, R+2, W, Cin) Element block of the
     UNPADDED input at row offset clip(y*R-1, 0, H-R-2). The block is staged
     once into a (R+2, W+2, Cin) VMEM scratch with the SAME-padding border
@@ -93,21 +94,37 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
     applied during staging (once per row instead of 3x per tap); the im2col
     loop then matches the padded kernel. Kills the per-kernel-boundary
     jnp.pad that cost ~56 ms/step in the whole-image SID program (pads of
-    custom-call outputs cannot be input-fused into the next kernel)."""
+    custom-call outputs cannot be input-fused into the next kernel).
+    xcol=True stages the x-only im2col instead (akgm_pallas._stage_xcol) and
+    contracts three K=3Cin dots per row — ~2.5x fewer scratch stores."""
     if fold:
-        a_ref, t_ref, out_ref, scratch_ref, pad_ref = rest
+        a_ref, t_ref, out_ref, scratch_ref = rest[:4]
     else:
-        out_ref, scratch_ref, pad_ref = rest
-    _stage_padfree(h_ref, pad_ref, v_ref[0],
-                   a_ref[0] if fold else None,
-                   t_ref[0] if fold else None, R=R, W=W, C=Cin,
-                   act=pre_act)
+        out_ref, scratch_ref = rest[:2]
+    pad_ref = rest[-1] if not xcol else None
+    arow = a_ref[0] if fold else None
+    trow = t_ref[0] if fold else None
+    if xcol:
+        from ucdir_tpu.ops.akgm_pallas import _stage_xcol
+        _stage_xcol(h_ref, scratch_ref, v_ref[0], arow, trow,
+                    R=R, W=W, C=Cin, act=pre_act)
+    else:
+        _stage_padfree(h_ref, pad_ref, v_ref[0], arow, trow, R=R, W=W,
+                       C=Cin, act=pre_act)
     for r in range(R):
-        for t, (ty, tx) in enumerate(_TAPS):
-            scratch_ref[:, t * Cin:(t + 1) * Cin] = \
-                pad_ref[r + ty, tx:tx + W, :]
-        acc = jnp.dot(scratch_ref[...], w_ref[...],
-                      preferred_element_type=jnp.float32)   # (W, Cout)
+        if xcol:
+            acc = jnp.dot(scratch_ref[r], w_ref[0:3 * Cin, :],
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(scratch_ref[r + 1], w_ref[3 * Cin:6 * Cin, :],
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(scratch_ref[r + 2], w_ref[6 * Cin:9 * Cin, :],
+                           preferred_element_type=jnp.float32)  # (W, Cout)
+        else:
+            for t, (ty, tx) in enumerate(_TAPS):
+                scratch_ref[:, t * Cin:(t + 1) * Cin] = \
+                    pad_ref[r + ty, tx:tx + W, :]
+            acc = jnp.dot(scratch_ref[...], w_ref[...],
+                          preferred_element_type=jnp.float32)   # (W, Cout)
         acc = acc + b_ref[0]
         if act == 'swish':
             acc = acc * jax.nn.sigmoid(acc)
@@ -120,7 +137,9 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if not rows_per_block:
-        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+        pref = int(_os.environ.get('UCDIR_TPU_CONV_R', '4'))
+        rows_per_block = next(r for r in (pref, 4, 2, 1)
+                              if H % r == 0 and H >= r + 2 and H // r >= 2)
     R = rows_per_block
     fold = norm_scale is not None
     w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)  # k = tap*Cin + i
@@ -142,9 +161,14 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
     else:
         extra, extra_specs = [], []
 
+    from ucdir_tpu.ops.akgm_pallas import _use_xcol
+    xcol = _use_xcol()
+    scratch = ([pltpu.VMEM((R + 2, W, 3 * Cin), x.dtype)] if xcol else
+               [pltpu.VMEM((W, 9 * Cin), x.dtype),
+                pltpu.VMEM((R + 2, W + 2, Cin), x.dtype)])
     return pl.pallas_call(
         functools.partial(_conv_kernel_padfree, Cin=Cin, Cout=Cout, W=W, R=R,
-                          act=act, fold=fold, pre_act=pre_act),
+                          act=act, fold=fold, pre_act=pre_act, xcol=xcol),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         grid=(B, H // R),
         in_specs=[
@@ -160,8 +184,7 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
         ] + extra_specs,
         out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype),
-                        pltpu.VMEM((R + 2, W + 2, Cin), x.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
             allow_input_fusion=[True] + [False] * (3 + len(extra))),
@@ -689,6 +712,171 @@ def head_conv3x3(x, kernel, bias, norm_scale, norm_shift, use_pallas=False):
     return _c3p_ref(x, kernel, bias, norm_scale, norm_shift)
 
 
+def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
+                     fold):
+    """Stride-2 3x3 SAME conv (the reference Downsample, ucdir.py:63-69).
+    h_ref: (1, 2R+1, W, Cin) Element block of the UNPADDED input at row
+    offset clip(2yR-1, 0, H-2R-1) — for even H/W the stride-2 taps never
+    read the bottom/right pad, so only the top block stages a border row.
+    Each staged row is compacted at stage time into a stride-2 x-im2col
+    (W2, 3Cin) via two strided value slices; output row r then contracts
+    three K=3Cin dots on xcol rows 2r..2r+2 — no strided access in the hot
+    loop and half-width scratch traffic."""
+    if fold:
+        a_ref, t_ref, out_ref, xcol_ref = rest
+    else:
+        out_ref, xcol_ref = rest
+    W2 = W // 2
+    y = pl.program_id(1)
+    vrow = v_ref[0]
+
+    def stage(off, top):
+        for l in range(2 * R + 1):
+            if top and l == 0:
+                for t in range(3):
+                    xcol_ref[l, :, t * Cin:(t + 1) * Cin] = \
+                        jnp.broadcast_to(vrow, (W2, Cin))
+                continue
+            row = h_ref[0, l - off]                          # (W, Cin)
+            if fold:
+                row = row * a_ref[0] + t_ref[0]
+            odd = jax.lax.slice(row, (1, 0), (W, Cin), (2, 1))      # (W2, C)
+            even = jax.lax.slice(row, (0, 0), (W - 1, Cin), (2, 1))  # (W2, C)
+            # tap cols for output x: padded 2x (tx=0), 2x+1 (tx=1), 2x+2
+            # (tx=2) = [v, odd[:-1]], even, odd
+            xcol_ref[l, 1:W2, 0:Cin] = odd[0:W2 - 1]
+            xcol_ref[l, 0:1, 0:Cin] = vrow
+            xcol_ref[l, :, Cin:2 * Cin] = even
+            xcol_ref[l, :, 2 * Cin:3 * Cin] = odd
+
+    @pl.when(y == 0)
+    def _top():
+        stage(1, True)
+
+    @pl.when(y > 0)
+    def _interior():
+        stage(0, False)
+
+    for r in range(R):
+        acc = jnp.dot(xcol_ref[2 * r], w_ref[0:3 * Cin, :],
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(xcol_ref[2 * r + 1], w_ref[3 * Cin:6 * Cin, :],
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(xcol_ref[2 * r + 2], w_ref[6 * Cin:9 * Cin, :],
+                       preferred_element_type=jnp.float32)   # (W2, Cout)
+        acc = acc + b_ref[0]
+        out_ref[0, r] = acc.astype(out_ref.dtype)
+
+
+def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
+                      rows_per_block: int = 0):
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    H2, W2 = H // 2, W // 2
+    if not rows_per_block:
+        # H2 > R so the (2R+1)-row block fits the array even at y == 0
+        rows_per_block = next(r for r in (4, 2, 1)
+                              if H2 % r == 0 and H2 > r)
+    R = rows_per_block
+    fold = norm_scale is not None
+    w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)
+    b2 = bias.reshape(1, 1, Cout)
+    v2 = jnp.zeros((1, 1, Cin), x.dtype)
+    b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, Cin), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if fold:
+        extra = [norm_scale.astype(x.dtype)[:, None, :],
+                 norm_shift.astype(x.dtype)[:, None, :]]
+        extra_specs = [pl.BlockSpec((1, 1, Cin), lambda b, y: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+    return pl.pallas_call(
+        functools.partial(_downconv_kernel, Cin=Cin, Cout=Cout, W=W, R=R,
+                          fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H2, W2, Cout), x.dtype),
+        grid=(B, H2 // R),
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(2 * R + 1), _Element(W),
+                          _Element(Cin)),
+                         lambda b, y: (b, jnp.clip(2 * y * R - 1, 0,
+                                                   H - 2 * R - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * Cin, Cout), lambda b, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            b_spec,
+            v_spec,
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W2, Cout), lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * R + 1, W2, 3 * Cin), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True] + [False] * (3 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * B * H2 * W2 * Cin * Cout,
+            bytes_accessed=x.dtype.itemsize * B * H * W * Cin
+            + x.dtype.itemsize * B * H2 * W2 * Cout,
+            transcendentals=0),
+    )(x, w2, b2, v2, *extra)
+
+
+def downconv_xla(x, kernel, bias, norm_scale=None, norm_shift=None):
+    if norm_scale is not None:
+        x = x * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
+    y = lax.conv_general_dilated(
+        x, kernel, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + bias
+
+
+@jax.custom_vjp
+def downconv2x_pallas(x, kernel, bias, norm_scale, norm_shift):
+    return _downconv_forward(x, kernel, bias, norm_scale, norm_shift)
+
+
+def _dc_fwd(x, kernel, bias, ns, nt):
+    return downconv2x_pallas(x, kernel, bias, ns, nt), (x, kernel, bias,
+                                                        ns, nt)
+
+
+def _dc_bwd(residuals, g):
+    x, kernel, bias, ns, nt = residuals
+    if ns is None:
+        _, vjp = jax.vjp(lambda x, k, b: downconv_xla(x, k, b), x, kernel,
+                         bias)
+        return vjp(g) + (None, None)
+    _, vjp = jax.vjp(downconv_xla, x, kernel, bias, ns, nt)
+    return vjp(g)
+
+
+downconv2x_pallas.defvjp(_dc_fwd, _dc_bwd)
+
+
+def downconv2x(x, kernel, bias, use_pallas=False, norm_scale=None,
+               norm_shift=None):
+    """Dispatching stride-2 3x3 conv (Downsample)."""
+    import os
+    B, H, W, Cin = x.shape
+    H2 = H // 2
+    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    ok = (use_pallas and HAS_ELEMENT
+          and jax.devices()[0].platform == 'tpu'
+          and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
+          and os.environ.get('UCDIR_TPU_NO_PALLAS_DOWN') != '1'
+          and H % 2 == 0 and W % 2 == 0 and H2 > 1
+          and min(H, W) >= min_dim and W <= _MAX_WIDTH
+          and Cin <= 1024 and kernel.shape[-1] <= 512
+          and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
+    if ok:
+        out = downconv2x_pallas(x, kernel, bias, norm_scale, norm_shift)
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, 'pallas_out')
+    return downconv_xla(x, kernel, bias, norm_scale, norm_shift)
+
+
 # nearest-x2 + 3x3 SAME conv == a phase-packed conv at SOURCE resolution:
 # output row 2y+py reads source rows {y-1, y} (py=0) / {y, y+1} (py=1) with
 # the duplicated taps' weights SUMMED (nearest repeats rows/cols, so original
@@ -756,6 +944,12 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    # big-channel convs (the /8-scale 1024->512 / 768->512 at whole-image
+    # SID size) amortize the staging at much smaller spatial dims — XLA runs
+    # them at ~33 TF/s vs the kernel's ~80; a blanket MIN_DIM drop regressed
+    # the step (small-Cin /8 convs lose), so the exception gates on Cin
+    if Cin >= int(os.environ.get('UCDIR_TPU_CONV_BIGC', '512')):
+        min_dim = int(os.environ.get('UCDIR_TPU_CONV_BIGC_MIN_DIM', '128'))
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
