@@ -30,8 +30,12 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'BENCH_BASELINE.json')
 HEADLINE = 'sid_val_50step_1424x2128_images_per_sec_per_chip'
 SECONDARY = 'sid_val_50step_512px_images_per_sec_per_chip'
-# TPU v5e (v5-lite) bf16 peak per chip
+# TPU v5e (v5-lite) bf16 peak per chip — spec sheet value. The part in this
+# image measures ~121 TF/s on a chained 8k matmul (CLAUDE.md r3 roofline);
+# MFU is reported against BOTH (spec = comparable across reports, measured =
+# the real speed-of-light headroom on this device).
 PEAK_BF16_FLOPS = 197e12
+MEASURED_BF16_FLOPS = 121e12
 
 
 def _load_baselines() -> dict:
@@ -171,7 +175,10 @@ def main():
     }))
     print('# SID 1424x2128 tiled: %.2f s/img (compile+first %.0fs)%s'
           % (dt_sid, c_sid,
-             '; hw MFU ~%.1f%%' % (100 * mfu) if mfu is not None else ''),
+             '; hw MFU ~%.1f%% of spec peak (~%.1f%% of the measured '
+             '121 TF/s device peak)'
+             % (100 * mfu, 100 * mfu * PEAK_BF16_FLOPS / MEASURED_BF16_FLOPS)
+             if mfu is not None else ''),
           file=sys.stderr)
     print('# 512px: %.4f img/s (%.3f s/img, x%.2f vs r1 baseline); '
           'bf16 mean|dev| vs fp32: %.4f'
