@@ -52,7 +52,23 @@ def main():
     # axon: block_until_ready lies for big programs; force with a scalar fetch
     _ = float(m['l_pix'])
     dt = (time.time() - t0) / n
-    print('%s B=%d S=%d: %.4f s/step (%.2f img/s)' % (mode, B, S, dt, B / dt))
+    # hw MFU from XLA's own cost analysis of the compiled step (counts the
+    # program as scheduled: remat recompute + densified-AKGM waste included);
+    # peaks per CLAUDE.md r3 roofline (spec 197 TF/s bf16, measured ~121).
+    mfu = ''
+    try:
+        ca = step.lower(state, batch, key).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fl = float(ca.get('flops', 0.0))
+        if fl > 0:
+            mfu = (' | %.0f GFLOP/step, hw MFU %.1f%% of spec '
+                   '(%.1f%% of measured 121 TF/s)'
+                   % (fl / 1e9, 100 * fl / dt / 197e12,
+                      100 * fl / dt / 121e12))
+    except Exception as e:  # cost_analysis is backend-dependent
+        mfu = ' | cost_analysis unavailable (%s)' % type(e).__name__
+    print('%s B=%d S=%d: %.4f s/step (%.2f img/s)%s'
+          % (mode, B, S, dt, B / dt, mfu))
 
 
 if __name__ == '__main__':

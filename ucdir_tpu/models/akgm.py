@@ -36,7 +36,11 @@ class ResnetBlockDY3h(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb, guide, deterministic: bool = True,
-                 g_maps=None):
+                 g_maps=None, in_stats=None, emit_stats: bool = False):
+        """in_stats: optional chained GN(1) totals of x from its producer;
+        emit_stats: return (out, out_totals_or_None) instead of out — the
+        stats chain threads through the whole UNet (dy3h.naiveforward) so
+        the folded norms never re-read their inputs from HBM."""
         b, H, W, c = x.shape
         nset = self.nset
 
@@ -52,13 +56,16 @@ class ResnetBlockDY3h(nn.Module):
         # keep the standard module.
         if self.norm_groups == 1:
             a1, t1 = _norm1_affine(x, *_NormParams(c, name='norm1')(),
-                                   use_pallas=self.use_pallas)
+                                   use_pallas=self.use_pallas,
+                                   totals=in_stats)
             h = PallasConv3(self.dim_out, act='swish',
                             use_pallas=self.use_pallas,
-                            name='conv1')(x, norm_scale=a1, norm_shift=t1)
+                            name='conv1')(x, norm_scale=a1, norm_shift=t1,
+                                          emit_stats=emit_stats)
+            h, h_stats = h if emit_stats else (h, None)
             a2, t2 = _norm1_affine(
                 h, *_NormParams(self.dim_out, name='norm2')(),
-                use_pallas=self.use_pallas)
+                use_pallas=self.use_pallas, totals=h_stats)
         else:
             h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                              name='norm1')(x)
@@ -101,7 +108,8 @@ class ResnetBlockDY3h(nn.Module):
             res = x
         return akgm_block_tail(h, g, spdy_kernel, spdy_bias, res, nset,
                                use_pallas=self.use_pallas,
-                               norm_scale=a2, norm_shift=t2, attw=attw)
+                               norm_scale=a2, norm_shift=t2, attw=attw,
+                               emit_stats=emit_stats)
 
 
 class _NormParams(nn.Module):
@@ -117,16 +125,22 @@ class _NormParams(nn.Module):
 
 
 def _norm1_affine(x, scale, bias, eps: float = 1e-5,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, totals=None):
     """GroupNorm(num_groups=1) as a per-(batch, channel) affine: returns
     (a, t) with norm(x) == x*a + t (stats over H, W, C in f32). The stats
     run as ONE HBM pass (ops/stats_pallas.py) — XLA emits mean/var as two
-    full-tensor loop fusions at the big eval scales."""
-    from ucdir_tpu.ops.stats_pallas import gn1_stats
+    full-tensor loop fusions at the big eval scales.
+    totals: optional chained ((B,) sum, (B,) sumsq) emitted by x's PRODUCER
+    kernel (ops.chain_stats_mode) — skips the stats pass entirely."""
     n = x.shape[1] * x.shape[2] * x.shape[3]
-    s, q = gn1_stats(x, use_pallas=use_pallas)            # (B, C) f32 each
-    mean = jnp.sum(s, axis=1) / n
-    var = jnp.sum(q, axis=1) / n - jnp.square(mean)
+    if totals is not None:
+        s_tot, q_tot = totals
+    else:
+        from ucdir_tpu.ops.stats_pallas import gn1_stats
+        s, q = gn1_stats(x, use_pallas=use_pallas)        # (B, C) f32 each
+        s_tot, q_tot = jnp.sum(s, axis=1), jnp.sum(q, axis=1)
+    mean = s_tot / n
+    var = q_tot / n - jnp.square(mean)
     rstd = jax.lax.rsqrt(var + eps)                       # (B,)
     a = scale[None, :].astype(jnp.float32) * rstd[:, None]
     t = (bias[None, :].astype(jnp.float32)

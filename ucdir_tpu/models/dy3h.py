@@ -47,15 +47,18 @@ class ResnetBlocWithAttn(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb, guide=None, deterministic: bool = True,
-                 g_maps=None):
+                 g_maps=None, in_stats=None, emit_stats: bool = False):
         cls = _RES_BLOCKS[self.resname]
-        kwargs = {}
+        xs = None
         if self.resname == 'ResnetBlockDY3h':
             block = cls(self.dim, self.dim_out, nl_emb_dim=self.nl_emb_dim,
                         norm_groups=self.norm_groups, dropout=self.dropout,
                         use_pallas=self.use_pallas, name='res_block')
             x = block(x, time_emb, guide, deterministic=deterministic,
-                      g_maps=g_maps)
+                      g_maps=g_maps, in_stats=in_stats,
+                      emit_stats=emit_stats)
+            if emit_stats:
+                x, xs = x
         else:
             block = cls(self.dim, self.dim_out, nl_emb_dim=self.nl_emb_dim,
                         norm_groups=self.norm_groups, dropout=self.dropout,
@@ -64,7 +67,8 @@ class ResnetBlocWithAttn(nn.Module):
         if self.with_attn:
             x = SelfAttention(self.dim_out, norm_groups=self.norm_groups,
                               name='attn')(x)
-        return x
+            xs = None  # attention output: no producer-emitted stats
+        return (x, xs) if emit_stats else x
 
 
 class DY3h(nn.Module):
@@ -139,19 +143,37 @@ class DY3h(nn.Module):
         downs, mid_channel, ups, prec = self._plan()
         block_cls = ResnetBlocWithAttn
         if self.remat:
-            # deterministic (arg 4 incl. self) is a static python bool.
-            # With pallas kernels on, save their outputs instead of
-            # re-running Mosaic kernels in the backward pass (measured: full
-            # remat made the pallas train step SLOWER than XLA, r2) — the
-            # policy is a no-op when nothing is checkpoint_name-tagged.
+            # deterministic (arg 4 incl. self) and emit_stats (arg 7) are
+            # static python bools. With pallas kernels on, save their outputs
+            # instead of re-running Mosaic kernels in the backward pass
+            # (measured: full remat made the pallas train step SLOWER than
+            # XLA, r2) — the policy is a no-op when nothing is
+            # checkpoint_name-tagged.
             policy = (jax.checkpoint_policies.save_only_these_names(
                 'pallas_out') if self.use_pallas else None)
-            block_cls = nn.remat(ResnetBlocWithAttn, static_argnums=(4,),
+            block_cls = nn.remat(ResnetBlocWithAttn, static_argnums=(4, 7),
                                  policy=policy)
 
+        # chained GroupNorm(1) stats (ops.chain_stats_mode): every producer
+        # (conv/tail/down/up kernel) emits its output's (B,) sum/sumsq, the
+        # consumer block's folded norm uses them instead of re-reading the
+        # tensor; totals ADD across skip concats and are invariant under
+        # depth-to-space. Attention voids the chain (XLA output).
+        import os as _os
+        _mode = _os.environ.get('UCDIR_TPU_CHAIN_STATS', 'auto')
+        chain = _mode == 'xla' or (_mode not in ('0',) and self.use_pallas)
+
+        def _cat_stats(a, b):
+            if a is None or b is None:
+                return None
+            return a[0] + b[0], a[1] + b[1]
+
         x = PallasConv3(self.inner_channel, use_pallas=self.use_pallas,
-                        name='downs_0')(x)
-        feats = [x]
+                        name='downs_0')(x, emit_stats=chain)
+        xs = None
+        if chain:
+            x, xs = x
+        feats = [(x, xs)]
         for i, (kind, dim, dim_out, with_attn) in enumerate(downs):
             name = f'downs_{i + 1}'
             if kind == 'block':
@@ -159,34 +181,48 @@ class DY3h(nn.Module):
                     dim, dim_out, nl_emb_dim=nlc, norm_groups=self.norm_groups,
                     dropout=self.dropout, with_attn=with_attn,
                     resname=self.resname, use_pallas=self.use_pallas,
-                    name=name)(x, t, guide, deterministic, gm.get(name))
+                    name=name)(x, t, guide, deterministic, gm.get(name),
+                               xs, chain)
             else:
                 x = Downsample(dim_out, use_pallas=self.use_pallas,
-                               name=name)(x)
-            feats.append(x)
+                               name=name)(x, emit_stats=chain)
+            if chain:
+                x, xs = x
+            feats.append((x, xs))
 
         x = block_cls(mid_channel, mid_channel, nl_emb_dim=nlc,
                       norm_groups=self.norm_groups, dropout=self.dropout,
                       with_attn=True, resname=self.resname,
                       use_pallas=self.use_pallas,
-                      name='mid_0')(x, t, guide, deterministic, gm.get('mid_0'))
+                      name='mid_0')(x, t, guide, deterministic,
+                                    gm.get('mid_0'), xs, chain)
+        if chain:
+            x, xs = x
         x = block_cls(mid_channel, mid_channel, nl_emb_dim=nlc,
                       norm_groups=self.norm_groups, dropout=self.dropout,
                       with_attn=False, resname=self.resname,
                       use_pallas=self.use_pallas,
-                      name='mid_1')(x, t, guide, deterministic, gm.get('mid_1'))
+                      name='mid_1')(x, t, guide, deterministic,
+                                    gm.get('mid_1'), xs, chain)
+        if chain:
+            x, xs = x
 
         for i, (kind, dim, dim_out, with_attn) in enumerate(ups):
             name = f'ups_{i}'
             if kind == 'block':
+                skip, ss = feats.pop()
                 x = block_cls(
                     dim, dim_out, nl_emb_dim=nlc, norm_groups=self.norm_groups,
                     dropout=self.dropout, with_attn=with_attn,
                     resname=self.resname, use_pallas=self.use_pallas,
-                    name=name)(jnp.concatenate([x, feats.pop()], axis=-1), t,
-                               guide, deterministic, gm.get(name))
+                    name=name)(jnp.concatenate([x, skip], axis=-1), t,
+                               guide, deterministic, gm.get(name),
+                               _cat_stats(xs, ss), chain)
             else:
-                x = Upsample(dim_out, use_pallas=self.use_pallas, name=name)(x)
+                x = Upsample(dim_out, use_pallas=self.use_pallas,
+                             name=name)(x, emit_stats=chain)
+            if chain:
+                x, xs = x
 
         # final head: GN -> Swish -> Dropout -> Conv3 (ucdir.py:266-268).
         # With dropout==0 (the shipped configs) the whole head folds into one
@@ -204,7 +240,7 @@ class DY3h(nn.Module):
         from ucdir_tpu.ops.conv_pallas import head_conv3x3
         a, t_ = _norm1_affine(x, *_NormParams(x.shape[-1],
                                               name='final_conv_norm')(),
-                              use_pallas=self.use_pallas)
+                              use_pallas=self.use_pallas, totals=xs)
         from ucdir_tpu.models.layers import _Conv3Params
         k, b = _Conv3Params(x.shape[-1], self.out_channel,
                             name='final_conv_conv')()

@@ -104,14 +104,16 @@ class PallasConv3(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, norm_scale=None, norm_shift=None):
+    def __call__(self, x, norm_scale=None, norm_shift=None,
+                 emit_stats: bool = False):
         from ucdir_tpu.ops.conv_pallas import conv3x3
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         return conv3x3(x, kernel, bias, act=self.act,
                        use_pallas=self.use_pallas,
-                       norm_scale=norm_scale, norm_shift=norm_shift)
+                       norm_scale=norm_scale, norm_shift=norm_shift,
+                       emit_stats=emit_stats)
 
 
 class PallasConv1(nn.Module):
@@ -139,10 +141,11 @@ class Upsample(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emit_stats: bool = False):
         from ucdir_tpu.ops.conv_pallas import upconv2x
         k, b = _Conv3Params(x.shape[-1], self.dim, name='conv')()
-        return upconv2x(x, k, b, use_pallas=self.use_pallas)
+        return upconv2x(x, k, b, use_pallas=self.use_pallas,
+                        emit_stats=emit_stats)
 
 
 class _Conv3Params(nn.Module):
@@ -167,10 +170,11 @@ class Downsample(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emit_stats: bool = False):
         from ucdir_tpu.ops.conv_pallas import downconv2x
         k, b = _Conv3Params(x.shape[-1], self.dim, name='conv')()
-        return downconv2x(x, k, b, use_pallas=self.use_pallas)
+        return downconv2x(x, k, b, use_pallas=self.use_pallas,
+                          emit_stats=emit_stats)
 
 
 class Block(nn.Module):

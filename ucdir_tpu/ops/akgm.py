@@ -197,7 +197,8 @@ _FORMS.update(reference=akgm_mix_reference, densified=akgm_mix_densified,
 
 def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
                     use_pallas: bool = False, split_channels: int = 256,
-                    norm_scale=None, norm_shift=None, attw=None):
+                    norm_scale=None, norm_shift=None, attw=None,
+                    emit_stats: bool = False):
     """The AKGM block tail `swish(akgm_mix(h, att)) + res` as ONE op.
 
     On TPU with `use_pallas` this runs the fused Pallas kernel
@@ -206,6 +207,10 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
     the MXU full — measured 7.7 ms vs 10.9 (v1+XLA epilogue) vs ~15 (XLA
     densified + relayout copies) per 1024^2/C=64 call. Elsewhere it composes
     the XLA formulations from `akgm_mix`.
+
+    emit_stats: also return the block output's GroupNorm(1) totals —
+    ((B,) sum, (B,) sumsq) f32 or None — as a second value (the chained
+    norm1 stats of the NEXT block; see ops.chain_stats_mode).
     """
     import os
     C = h.shape[-1]
@@ -222,21 +227,35 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
                  and jax.devices()[0].platform == 'tpu'
                  and os.environ.get('UCDIR_TPU_AKGM_FORM') is None
                  and os.environ.get('UCDIR_TPU_NO_FUSED_TAIL') != '1')
+    from ucdir_tpu.ops.conv_pallas import _emit_mode, _totals, _stats_of
+    mode = _emit_mode(emit_stats)
     if pallas_ok:
         from ucdir_tpu.ops import akgm_pallas
         if akgm_pallas.HAS_ELEMENT:
-            out = akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
-                                                res, nset, norm_scale,
-                                                norm_shift, attw)
             # named so remat policies can SAVE kernel outputs instead of
             # re-running the kernel in the backward pass (train/step remat
             # policy save_only_these_names('pallas_out'))
             from jax.ad_checkpoint import checkpoint_name
-            return checkpoint_name(out, 'pallas_out')
+            if mode == 'auto':
+                out, s, q = akgm_pallas.akgm_block_stats_pallas(
+                    h, att_sp, kernel, bias, res, nset, norm_scale,
+                    norm_shift, attw)
+                return checkpoint_name(out, 'pallas_out'), _totals(s, q)
+            out = akgm_pallas.akgm_block_pallas(h, att_sp, kernel, bias,
+                                                res, nset, norm_scale,
+                                                norm_shift, attw)
+            out = checkpoint_name(out, 'pallas_out')
+            if emit_stats:
+                return out, (_totals(*_stats_of(out)) if mode == 'xla'
+                             else None)
+            return out
     if norm_scale is not None:
         h = h * norm_scale[:, None, None, :] + norm_shift[:, None, None, :]
     if attw is not None:
         att_sp = att_sp * attw[:, None, None, :]
     y = akgm_mix(h, att_sp, kernel, bias, nset, use_pallas=use_pallas,
                  split_channels=split_channels)
-    return y * jax.nn.sigmoid(y) + res
+    out = y * jax.nn.sigmoid(y) + res
+    if emit_stats:
+        return out, (_totals(*_stats_of(out)) if mode == 'xla' else None)
+    return out

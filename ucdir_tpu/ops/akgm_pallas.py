@@ -243,11 +243,15 @@ def _stage_xcol(h_ref, xcol_ref, vrow, arow, trow=None, *, R, W, C,
 
 
 def _akgm_block_kernel(h_ref, att_ref, aw_ref, kd_ref, bias_ref, sel_ref,
-                       res_ref, *rest, C, G, W, R, fold=False):
-    if fold:
-        a_ref, out_ref, scratch_ref = rest
-    else:
-        out_ref, scratch_ref = rest
+                       res_ref, *rest, C, G, W, R, fold=False, emit=False):
+    from ucdir_tpu.ops.conv_pallas import _stats_init, _stats_accum
+    n = 1 if fold else 0
+    a_ref = rest[0] if fold else None
+    out_ref = rest[n]
+    s_ref, q_ref = (rest[n + 1], rest[n + 2]) if emit else (None, None)
+    scratch_ref = rest[-1]
+    if emit:
+        _stats_init(s_ref, q_ref)
     # R output rows per program: the kernel is DMA-issue-bound at R=1
     # (measured 4.9 ms for DMA alone vs 0.7 ms of HBM bytes at 1024^2/C=64 —
     # ~5 us per-program overhead x 1024 programs); batching rows amortizes it
@@ -274,7 +278,10 @@ def _akgm_block_kernel(h_ref, att_ref, aw_ref, kd_ref, bias_ref, sel_ref,
         out = jnp.dot(mixed, sel_ref[...],
                       preferred_element_type=jnp.float32)   # (W, C)
         out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
-        out_ref[0, r] = out.astype(out_ref.dtype)
+        ov = out.astype(out_ref.dtype)
+        out_ref[0, r] = ov
+        if emit:
+            _stats_accum(s_ref, q_ref, ov)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -293,8 +300,16 @@ def akgm_block_pallas(h, att_sp, kernel, bias, res, nset: int,
 
 def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                         norm_scale=None, norm_shift=None, attw=None,
-                        rows_per_block: int = 0):
+                        rows_per_block: int = 0, emit_stats: bool = False):
     import os
+    if emit_stats and (os.environ.get('UCDIR_TPU_ALIGNED') == '1'
+                       or os.environ.get('UCDIR_TPU_AKGM_PACKED') == '1'):
+        # the opt-in experiment kernels don't emit; fall back to XLA sums
+        from ucdir_tpu.ops.conv_pallas import _stats_of
+        out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
+                                  norm_scale, norm_shift, attw,
+                                  rows_per_block)
+        return (out, *_stats_of(out))
     if os.environ.get('UCDIR_TPU_ALIGNED') == '1' \
             and os.environ.get('UCDIR_TPU_AKGM_PACKED') != '1':
         # aligned-halo experiment: measured a wash isolated, -1.2%% in-model,
@@ -322,14 +337,16 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
     if not rows_per_block:
         # measured at 1024^2/C=64 bf16: R=4 7.54 ms, R=1 7.79, R>=8 worse
         # (bigger blocks raise vmem stack pressure; DMA issue overhead is
-        # not the limiter — see CLAUDE.md round-2 notes)
-        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+        # not the limiter — see CLAUDE.md round-2 notes). UCDIR_TPU_AKGM_R
+        # re-measures (halo refetch scales as (R+2)/R on the padfree path).
+        pref = int(os.environ.get('UCDIR_TPU_AKGM_R', '4'))
+        rows_per_block = next(r for r in (pref, 4, 2, 1) if H % r == 0)
     R = rows_per_block
     pf = os.environ.get('UCDIR_TPU_PADFREE', 'auto')
     if pf in ('1', 'auto') and H // R >= 2 and H >= R + 2:
         return _akgm_block_forward_padfree(h, att_sp, kernel, bias, res,
                                            nset, norm_scale, norm_shift,
-                                           attw, R)
+                                           attw, R, emit_stats=emit_stats)
     fold = norm_scale is not None
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     kd = _densify_kernel(kernel, C, G)                      # (3,3,C,CG)
@@ -360,9 +377,16 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
 
     grid = (B, H // R)
     flops = 2 * B * H * W * 9 * C * C * G + 2 * B * H * W * C * G * C
-    return pl.pallas_call(
-        functools.partial(_akgm_block_kernel, C=C, G=G, W=W, R=R, fold=fold),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+    out_shape = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+    out_specs = pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_stats:
+        from ucdir_tpu.ops.conv_pallas import _with_stats_outs
+        out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, C)
+    out = pl.pallas_call(
+        functools.partial(_akgm_block_kernel, C=C, G=G, W=W, R=R, fold=fold,
+                          emit=emit_stats),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W + 2),
@@ -381,8 +405,7 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((W, 9 * C), h.dtype)],
         # the (W, CG) f32 accumulator lives on the vector stack; inside a big
         # XLA program the default pallas vmem budget OOMs ("Ran out of memory
@@ -398,28 +421,38 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
             transcendentals=B * H * W * C),
     )(hp, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
       sel, res, *extra)
+    if emit_stats:
+        return out[0], out[1][:, 0], out[2][:, 0]
+    return out
 
 
 def _akgm_block_kernel_padfree(h_ref, att_ref, aw_ref, kd_ref, bias_ref,
                                sel_ref, res_ref, v_ref, *rest,
-                               C, G, W, R, fold=False, xcol=False):
+                               C, G, W, R, fold=False, xcol=False,
+                               emit=False):
     """Pad-free block tail: stages the SAME-padding view in VMEM (see
     _stage_padfree) so the jnp.pad producer — which XLA cannot input-fuse
     when h is itself a custom-call output, leaving a full-tensor pad op
     between chained kernels — disappears from the program.
     xcol=True stages the x-only im2col instead (see _stage_xcol) and
     contracts three K=3C dots per row — ~2.5x fewer scratch stores."""
-    if fold:
-        a_ref, t_ref, out_ref, scratch_ref = rest[:4]
-    else:
-        out_ref, scratch_ref = rest[:2]
-    pad_ref = rest[-1] if not xcol else None
+    from ucdir_tpu.ops.conv_pallas import _stats_init, _stats_accum
+    n = 2 if fold else 0
+    a_ref = rest[0] if fold else None
+    t_ref = rest[1] if fold else None
+    out_ref = rest[n]
+    s_ref, q_ref = (rest[n + 1], rest[n + 2]) if emit else (None, None)
+    k = n + (3 if emit else 1)
+    scratch_ref = rest[k]
+    pad_ref = rest[k + 1] if not xcol else None
     arow = a_ref[0] if fold else None
     trow = t_ref[0] if fold else None
     if xcol:
         _stage_xcol(h_ref, scratch_ref, v_ref[0], arow, trow, R=R, W=W, C=C)
     else:
         _stage_padfree(h_ref, pad_ref, v_ref[0], arow, trow, R=R, W=W, C=C)
+    if emit:
+        _stats_init(s_ref, q_ref)
     for r in range(R):
         if xcol:
             acc = jnp.dot(scratch_ref[r], kd_ref[0:3 * C, :],
@@ -442,12 +475,16 @@ def _akgm_block_kernel_padfree(h_ref, att_ref, aw_ref, kd_ref, bias_ref,
         out = jnp.dot(mixed, sel_ref[...],
                       preferred_element_type=jnp.float32)   # (W, C)
         out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
-        out_ref[0, r] = out.astype(out_ref.dtype)
+        ov = out.astype(out_ref.dtype)
+        out_ref[0, r] = ov
+        if emit:
+            _stats_accum(s_ref, q_ref, ov)
 
 
 def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
                                 norm_scale=None, norm_shift=None, attw=None,
-                                rows_per_block: int = 0):
+                                rows_per_block: int = 0,
+                                emit_stats: bool = False):
     B, H, W, C = h.shape
     G = nset
     if attw is None:
@@ -485,10 +522,16 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
     scratch = ([pltpu.VMEM((R + 2, W, 3 * C), h.dtype)] if xcol else
                [pltpu.VMEM((W, 9 * C), h.dtype),
                 pltpu.VMEM((R + 2, W + 2, C), h.dtype)])
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((B, H, W, C), h.dtype)
+    out_specs = pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_stats:
+        from ucdir_tpu.ops.conv_pallas import _with_stats_outs
+        out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, C)
+    out = pl.pallas_call(
         functools.partial(_akgm_block_kernel_padfree, C=C, G=G, W=W, R=R,
-                          fold=fold, xcol=xcol),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+                          fold=fold, xcol=xcol, emit=emit_stats),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
@@ -509,8 +552,7 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
                          memory_space=pltpu.VMEM),
             v_spec,
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, W, C), lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
@@ -521,6 +563,9 @@ def _akgm_block_forward_padfree(h, att_sp, kernel, bias, res, nset: int,
             transcendentals=B * H * W * C),
     )(h, att_sp, attw.astype(h.dtype)[:, None, :], kd2, bias2,
       sel, res, v2, *extra)
+    if emit_stats:
+        return out[0], out[1][:, 0], out[2][:, 0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1082,3 +1127,35 @@ def _block_bwd(nset, residuals, g):
 
 
 akgm_block_pallas.defvjp(_block_fwd, _block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def akgm_block_stats_pallas(h, att_sp, kernel, bias, res, nset: int,
+                            norm_scale=None, norm_shift=None, attw=None):
+    """akgm_block_pallas that ALSO emits the block output's (B, C) f32
+    sum/sumsq from inside the kernel — the producer half of the chained
+    GroupNorm(1) stats (the block output is the NEXT block's norm1 input).
+    Returns (out, s, q)."""
+    return _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
+                               norm_scale, norm_shift, attw, emit_stats=True)
+
+
+def _blocks_fwd(h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
+                attw):
+    out, s, q = _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
+                                    norm_scale, norm_shift, attw,
+                                    emit_stats=True)
+    return (out, s, q), (h, att_sp, kernel, bias, res, norm_scale,
+                         norm_shift, attw, out)
+
+
+def _blocks_bwd(nset, residuals, g):
+    *res8, out = residuals
+    go, ds, dq = g
+    go = (go.astype(jnp.float32) + ds.astype(jnp.float32)[:, None, None, :]
+          + 2. * out.astype(jnp.float32)
+          * dq.astype(jnp.float32)[:, None, None, :]).astype(out.dtype)
+    return _block_bwd(nset, tuple(res8), go)
+
+
+akgm_block_stats_pallas.defvjp(_blocks_fwd, _blocks_bwd)

@@ -60,11 +60,40 @@ def _ring_aligned(hp, v, R):
     return hp
 
 
-def _conv_kernel(h_ref, w_ref, b_ref, *rest, Cin, Cout, W, R, act, fold):
-    if fold:
-        a_ref, out_ref, scratch_ref = rest
-    else:
-        out_ref, scratch_ref = rest
+def _with_stats_outs(out_shape, out_specs, B, Cout):
+    """Append the (B, 1, Cout) f32 sum/sumsq accumulator outputs (revisited
+    across the row-grid dimension, init at program_id(1)==0 — the same
+    pattern as stats_pallas._stats_kernel and the bwd kernels' dw)."""
+    st = jax.ShapeDtypeStruct((B, 1, Cout), jnp.float32)
+    sp = pl.BlockSpec((1, 1, Cout), lambda b, y: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return (out_shape, st, st), (out_specs, sp, sp)
+
+
+def _stats_init(s_ref, q_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+        q_ref[0] = jnp.zeros_like(q_ref[0])
+
+
+def _stats_accum(s_ref, q_ref, ov):
+    """Accumulate one output row's per-channel sum/sumsq (f32, of the STORED
+    values — exactly what gn1_stats would read back, see stats_pallas.py)."""
+    ovf = ov.astype(jnp.float32)
+    s_ref[0, 0] += jnp.sum(ovf, axis=0)
+    q_ref[0, 0] += jnp.sum(ovf * ovf, axis=0)
+
+
+def _conv_kernel(h_ref, w_ref, b_ref, *rest, Cin, Cout, W, R, act, fold,
+                 emit=False):
+    n = 1 if fold else 0
+    a_ref = rest[0] if fold else None
+    out_ref = rest[n]
+    s_ref, q_ref = (rest[n + 1], rest[n + 2]) if emit else (None, None)
+    scratch_ref = rest[-1]
+    if emit:
+        _stats_init(s_ref, q_ref)
     for r in range(R):
         for t, (ty, tx) in enumerate(
                 [(y, x) for y in range(3) for x in range(3)]):
@@ -77,7 +106,10 @@ def _conv_kernel(h_ref, w_ref, b_ref, *rest, Cin, Cout, W, R, act, fold):
         acc = acc + b_ref[0]
         if act == 'swish':
             acc = acc * jax.nn.sigmoid(acc)
-        out_ref[0, r] = acc.astype(out_ref.dtype)
+        ov = acc.astype(out_ref.dtype)
+        out_ref[0, r] = ov
+        if emit:
+            _stats_accum(s_ref, q_ref, ov)
 
 
 _TAPS = [(ty, tx) for ty in range(3) for tx in range(3)]
@@ -85,7 +117,7 @@ _TAPS = [(ty, tx) for ty in range(3) for tx in range(3)]
 
 def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
                          Cin, Cout, W, R, act, fold, pre_act=None,
-                         xcol=False):
+                         xcol=False, emit=False):
     """Pad-free variant: h_ref is an (1, R+2, W, Cin) Element block of the
     UNPADDED input at row offset clip(y*R-1, 0, H-R-2). The block is staged
     once into a (R+2, W+2, Cin) VMEM scratch with the SAME-padding border
@@ -97,11 +129,14 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
     custom-call outputs cannot be input-fused into the next kernel).
     xcol=True stages the x-only im2col instead (akgm_pallas._stage_xcol) and
     contracts three K=3Cin dots per row — ~2.5x fewer scratch stores."""
-    if fold:
-        a_ref, t_ref, out_ref, scratch_ref = rest[:4]
-    else:
-        out_ref, scratch_ref = rest[:2]
-    pad_ref = rest[-1] if not xcol else None
+    n = 2 if fold else 0
+    a_ref = rest[0] if fold else None
+    t_ref = rest[1] if fold else None
+    out_ref = rest[n]
+    s_ref, q_ref = (rest[n + 1], rest[n + 2]) if emit else (None, None)
+    k = n + (3 if emit else 1)
+    scratch_ref = rest[k]
+    pad_ref = rest[k + 1] if not xcol else None
     arow = a_ref[0] if fold else None
     trow = t_ref[0] if fold else None
     if xcol:
@@ -111,6 +146,8 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
     else:
         _stage_padfree(h_ref, pad_ref, v_ref[0], arow, trow, R=R, W=W,
                        C=Cin, act=pre_act)
+    if emit:
+        _stats_init(s_ref, q_ref)
     for r in range(R):
         if xcol:
             acc = jnp.dot(scratch_ref[r], w_ref[0:3 * Cin, :],
@@ -128,12 +165,15 @@ def _conv_kernel_padfree(h_ref, w_ref, b_ref, v_ref, *rest,
         acc = acc + b_ref[0]
         if act == 'swish':
             acc = acc * jax.nn.sigmoid(acc)
-        out_ref[0, r] = acc.astype(out_ref.dtype)
+        ov = acc.astype(out_ref.dtype)
+        out_ref[0, r] = ov
+        if emit:
+            _stats_accum(s_ref, q_ref, ov)
 
 
 def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
                              norm_shift=None, rows_per_block: int = 0,
-                             pre_act=None):
+                             pre_act=None, emit_stats: bool = False):
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if not rows_per_block:
@@ -166,10 +206,16 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
     scratch = ([pltpu.VMEM((R + 2, W, 3 * Cin), x.dtype)] if xcol else
                [pltpu.VMEM((W, 9 * Cin), x.dtype),
                 pltpu.VMEM((R + 2, W + 2, Cin), x.dtype)])
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)
+    out_specs = pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_stats:
+        out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, Cout)
+    out = pl.pallas_call(
         functools.partial(_conv_kernel_padfree, Cin=Cin, Cout=Cout, W=W, R=R,
-                          act=act, fold=fold, pre_act=pre_act, xcol=xcol),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+                          act=act, fold=fold, pre_act=pre_act, xcol=xcol,
+                          emit=emit_stats),
+        out_shape=out_shape,
         grid=(B, H // R),
         in_specs=[
             pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
@@ -182,8 +228,7 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
             b_spec,
             v_spec,
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
@@ -193,6 +238,9 @@ def _conv3x3_forward_padfree(x, kernel, bias, act=None, norm_scale=None,
             bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),
             transcendentals=B * H * W * Cout if act else 0),
     )(x, w2, b2, v2, *extra)
+    if emit_stats:
+        return out[0], out[1][:, 0], out[2][:, 0]
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -208,19 +256,29 @@ def conv3x3_pallas(x, kernel, bias, act=None, norm_scale=None,
     return _conv3x3_forward(x, kernel, bias, act, norm_scale, norm_shift)
 
 
+def _stats_of(out):
+    """(B, C) f32 sum/sumsq of an NHWC tensor via plain XLA (fallback for
+    kernel variants without in-kernel emission)."""
+    of = out.astype(jnp.float32)
+    return jnp.sum(of, axis=(1, 2)), jnp.sum(of * of, axis=(1, 2))
+
+
 def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
-                     norm_shift=None, rows_per_block: int = 0):
+                     norm_shift=None, rows_per_block: int = 0,
+                     emit_stats: bool = False):
     import os
     if os.environ.get('UCDIR_TPU_ALIGNED') == '1':
         # aligned-halo experiment (3 standard block operands instead of
         # Element offsets) — measured a WASH isolated and -1.2% in-model
         # with 2x the compile time; kept opt-in for future re-measurement
-        return _conv3x3_forward_aligned(x, kernel, bias, act, norm_scale,
-                                        norm_shift, rows_per_block)
+        out = _conv3x3_forward_aligned(x, kernel, bias, act, norm_scale,
+                                       norm_shift, rows_per_block)
+        return (out, *_stats_of(out)) if emit_stats else out
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     if not rows_per_block:
-        rows_per_block = next(r for r in (4, 2, 1) if H % r == 0)
+        pref = int(os.environ.get('UCDIR_TPU_CONV_R', '4'))
+        rows_per_block = next(r for r in (pref, 4, 2, 1) if H % r == 0)
     R = rows_per_block
     # padfree A/B (isolated, 3.56Mpx rows): WINS Cin>=128 (192->64: 21.3 vs
     # 23.0 ms incl. the pad; 128->128: 5.7 vs 5.7-6.2) but LOSES Cin=64
@@ -230,7 +288,8 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
     if (pf == '1' or (pf == 'auto' and Cin >= 128)) and H // R >= 2 \
             and H >= R + 2:
         return _conv3x3_forward_padfree(x, kernel, bias, act, norm_scale,
-                                        norm_shift, R)
+                                        norm_shift, R,
+                                        emit_stats=emit_stats)
     fold = norm_scale is not None
     hp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w2 = kernel.reshape(9 * Cin, Cout).astype(x.dtype)  # k = tap*Cin + i
@@ -263,10 +322,15 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
         b_spec = pl.BlockSpec((1, 1, Cout), lambda b, y: (0, 0, 0),
                               memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype)
+    out_specs = pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_stats:
+        out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, Cout)
+    out = pl.pallas_call(
         functools.partial(_conv_kernel, Cin=Cin, Cout=Cout, W=W, R=R, act=act,
-                          fold=fold),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+                          fold=fold, emit=emit_stats),
+        out_shape=out_shape,
         grid=(B, H // R),
         in_specs=[
             pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W + 2),
@@ -277,8 +341,7 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
                          memory_space=pltpu.VMEM),
             b_spec,
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, W, Cout), lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((W, 9 * Cin), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
@@ -288,6 +351,9 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
             bytes_accessed=x.dtype.itemsize * B * H * W * (Cin + Cout),
             transcendentals=B * H * W * Cout if act else 0),
     )(hp, w2, b2, *extra)
+    if emit_stats:
+        return out[0], out[1][:, 0], out[2][:, 0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +634,38 @@ def _c3_bwd(act, residuals, g):
 conv3x3_pallas.defvjp(_c3_fwd, _c3_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_stats_pallas(x, kernel, bias, act=None, norm_scale=None,
+                         norm_shift=None):
+    """conv3x3_pallas that ALSO emits the output's per-(batch, channel)
+    f32 sum and sum-of-squares from inside the kernel — the producer half
+    of the chained GroupNorm(1) stats (ops.chain_stats_mode): the next
+    block's folded norm uses these instead of re-reading the tensor.
+    Returns (out, s (B,Cout), q (B,Cout))."""
+    return _conv3x3_forward(x, kernel, bias, act, norm_scale, norm_shift,
+                            emit_stats=True)
+
+
+def _c3s_fwd(x, kernel, bias, act, ns, nt):
+    out, s, q = _conv3x3_forward(x, kernel, bias, act, ns, nt,
+                                 emit_stats=True)
+    return (out, s, q), (x, kernel, bias, ns, nt, out)
+
+
+def _c3s_bwd(act, residuals, g):
+    # d(sum)/d(out) = 1, d(sumsq)/d(out) = 2*out — fold the stats cotangents
+    # into the output cotangent, then reuse the plain conv backward.
+    x, kernel, bias, ns, nt, out = residuals
+    go, ds, dq = g
+    go = (go.astype(jnp.float32) + ds.astype(jnp.float32)[:, None, None, :]
+          + 2. * out.astype(jnp.float32)
+          * dq.astype(jnp.float32)[:, None, None, :]).astype(out.dtype)
+    return _c3_bwd(act, (x, kernel, bias, ns, nt), go)
+
+
+conv3x3_stats_pallas.defvjp(_c3s_fwd, _c3s_bwd)
+
+
 def _conv1x1_kernel(h_ref, w_ref, b_ref, out_ref, *, W, R, act):
     for r in range(R):
         acc = jnp.dot(h_ref[0, r], w_ref[...],
@@ -713,7 +811,7 @@ def head_conv3x3(x, kernel, bias, norm_scale, norm_shift, use_pallas=False):
 
 
 def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
-                     fold):
+                     fold, emit=False):
     """Stride-2 3x3 SAME conv (the reference Downsample, ucdir.py:63-69).
     h_ref: (1, 2R+1, W, Cin) Element block of the UNPADDED input at row
     offset clip(2yR-1, 0, H-2R-1) — for even H/W the stride-2 taps never
@@ -722,10 +820,12 @@ def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
     (W2, 3Cin) via two strided value slices; output row r then contracts
     three K=3Cin dots on xcol rows 2r..2r+2 — no strided access in the hot
     loop and half-width scratch traffic."""
-    if fold:
-        a_ref, t_ref, out_ref, xcol_ref = rest
-    else:
-        out_ref, xcol_ref = rest
+    n = 2 if fold else 0
+    a_ref = rest[0] if fold else None
+    t_ref = rest[1] if fold else None
+    out_ref = rest[n]
+    s_ref, q_ref = (rest[n + 1], rest[n + 2]) if emit else (None, None)
+    xcol_ref = rest[-1]
     W2 = W // 2
     y = pl.program_id(1)
     vrow = v_ref[0]
@@ -757,6 +857,8 @@ def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
     def _interior():
         stage(0, False)
 
+    if emit:
+        _stats_init(s_ref, q_ref)
     for r in range(R):
         acc = jnp.dot(xcol_ref[2 * r], w_ref[0:3 * Cin, :],
                       preferred_element_type=jnp.float32)
@@ -765,11 +867,14 @@ def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
         acc += jnp.dot(xcol_ref[2 * r + 2], w_ref[6 * Cin:9 * Cin, :],
                        preferred_element_type=jnp.float32)   # (W2, Cout)
         acc = acc + b_ref[0]
-        out_ref[0, r] = acc.astype(out_ref.dtype)
+        ov = acc.astype(out_ref.dtype)
+        out_ref[0, r] = ov
+        if emit:
+            _stats_accum(s_ref, q_ref, ov)
 
 
 def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
-                      rows_per_block: int = 0):
+                      rows_per_block: int = 0, emit_stats: bool = False):
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     H2, W2 = H // 2, W // 2
@@ -793,10 +898,15 @@ def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
                                     memory_space=pltpu.VMEM)] * 2
     else:
         extra, extra_specs = [], []
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((B, H2, W2, Cout), x.dtype)
+    out_specs = pl.BlockSpec((1, R, W2, Cout), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if emit_stats:
+        out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, Cout)
+    out = pl.pallas_call(
         functools.partial(_downconv_kernel, Cin=Cin, Cout=Cout, W=W, R=R,
-                          fold=fold),
-        out_shape=jax.ShapeDtypeStruct((B, H2, W2, Cout), x.dtype),
+                          fold=fold, emit=emit_stats),
+        out_shape=out_shape,
         grid=(B, H2 // R),
         in_specs=[
             pl.BlockSpec((_Element(1), _Element(2 * R + 1), _Element(W),
@@ -809,8 +919,7 @@ def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
             b_spec,
             v_spec,
         ] + extra_specs,
-        out_specs=pl.BlockSpec((1, R, W2, Cout), lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((2 * R + 1, W2, 3 * Cin), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
@@ -821,6 +930,9 @@ def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
             + x.dtype.itemsize * B * H2 * W2 * Cout,
             transcendentals=0),
     )(x, w2, b2, v2, *extra)
+    if emit_stats:
+        return out[0], out[1][:, 0], out[2][:, 0]
+    return out
 
 
 def downconv_xla(x, kernel, bias, norm_scale=None, norm_shift=None):
@@ -855,9 +967,34 @@ def _dc_bwd(residuals, g):
 downconv2x_pallas.defvjp(_dc_fwd, _dc_bwd)
 
 
+@jax.custom_vjp
+def downconv2x_stats_pallas(x, kernel, bias, norm_scale, norm_shift):
+    """downconv2x_pallas + in-kernel output sum/sumsq (see
+    conv3x3_stats_pallas). Returns (out, s (B,Cout), q (B,Cout))."""
+    return _downconv_forward(x, kernel, bias, norm_scale, norm_shift,
+                             emit_stats=True)
+
+
+def _dcs_fwd(x, kernel, bias, ns, nt):
+    out, s, q = _downconv_forward(x, kernel, bias, ns, nt, emit_stats=True)
+    return (out, s, q), (x, kernel, bias, ns, nt, out)
+
+
+def _dcs_bwd(residuals, g):
+    x, kernel, bias, ns, nt, out = residuals
+    go, ds, dq = g
+    go = (go.astype(jnp.float32) + ds.astype(jnp.float32)[:, None, None, :]
+          + 2. * out.astype(jnp.float32)
+          * dq.astype(jnp.float32)[:, None, None, :]).astype(out.dtype)
+    return _dc_bwd((x, kernel, bias, ns, nt), go)
+
+
+downconv2x_stats_pallas.defvjp(_dcs_fwd, _dcs_bwd)
+
+
 def downconv2x(x, kernel, bias, use_pallas=False, norm_scale=None,
-               norm_shift=None):
-    """Dispatching stride-2 3x3 conv (Downsample)."""
+               norm_shift=None, emit_stats=False):
+    """Dispatching stride-2 3x3 conv (Downsample). emit_stats: see conv3x3."""
     import os
     B, H, W, Cin = x.shape
     H2 = H // 2
@@ -870,11 +1007,21 @@ def downconv2x(x, kernel, bias, use_pallas=False, norm_scale=None,
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 1024 and kernel.shape[-1] <= 512
           and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
+    mode = _emit_mode(emit_stats)
+    from jax.ad_checkpoint import checkpoint_name
     if ok:
-        out = downconv2x_pallas(x, kernel, bias, norm_scale, norm_shift)
-        from jax.ad_checkpoint import checkpoint_name
-        return checkpoint_name(out, 'pallas_out')
-    return downconv_xla(x, kernel, bias, norm_scale, norm_shift)
+        if mode == 'auto':
+            out, s, q = downconv2x_stats_pallas(x, kernel, bias,
+                                                norm_scale, norm_shift)
+            return checkpoint_name(out, 'pallas_out'), _totals(s, q)
+        out = checkpoint_name(
+            downconv2x_pallas(x, kernel, bias, norm_scale, norm_shift),
+            'pallas_out')
+    else:
+        out = downconv_xla(x, kernel, bias, norm_scale, norm_shift)
+    if emit_stats:
+        return out, (_totals(*_stats_of(out)) if mode == 'xla' else None)
+    return out
 
 
 # nearest-x2 + 3x3 SAME conv == a phase-packed conv at SOURCE resolution:
@@ -907,11 +1054,14 @@ def depth_to_space2(y):
     return y.reshape(B, 2 * H, 2 * W, C)
 
 
-def upconv2x(x, kernel, bias, use_pallas=False):
+def upconv2x(x, kernel, bias, use_pallas=False, emit_stats=False):
     """nearest-x2 upsample + 3x3 SAME conv, as one phase-packed conv at
     source resolution (reference: Upsample, ucdir.py:53-60). Dispatches the
     packed conv through the Pallas kernel with its own caps (the packed
-    4*Cout exceeds conv3x3's lane cap by design)."""
+    4*Cout exceeds conv3x3's lane cap by design).
+    emit_stats: the packed (B,H,W,4C) output is a permutation of the
+    (B,2H,2W,C) result, so its (B,) totals ARE the upsampled tensor's —
+    emitted from the packed kernel for free."""
     import os
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
@@ -926,20 +1076,54 @@ def upconv2x(x, kernel, bias, use_pallas=False):
           and Cin <= 1024 and 4 * Cout <= 2048
           and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH
           and W * 4 * Cout * 4 <= 2 ** 23)
+    mode = _emit_mode(emit_stats)
+    stats = None
+    from jax.ad_checkpoint import checkpoint_name
     if ok:
-        y = conv3x3_pallas(x, kp, bp, None, None, None)
-        from jax.ad_checkpoint import checkpoint_name
+        if mode == 'auto':
+            y, s, q = conv3x3_stats_pallas(x, kp, bp, None, None, None)
+            stats = _totals(s, q)
+        else:
+            y = conv3x3_pallas(x, kp, bp, None, None, None)
         y = checkpoint_name(y, 'pallas_out')
     else:
         y = conv3x3_xla(x, kp, bp, None)
-    return depth_to_space2(y)
+    if mode == 'xla' and stats is None:
+        stats = _totals(*_stats_of(y))
+    out = depth_to_space2(y)
+    if emit_stats:
+        return out, stats
+    return out
+
+
+def _emit_mode(emit_stats: bool) -> str:
+    """Resolved chain-stats mode for a dispatch site: '' (don't emit),
+    'auto' (emit from the kernel when the pallas path engages) or 'xla'
+    (emit via XLA sums regardless — CPU threading tests)."""
+    if not emit_stats:
+        return ''
+    from ucdir_tpu.ops import chain_stats_mode
+    mode = chain_stats_mode()
+    return mode if mode in ('auto', 'xla') else ''
+
+
+def _totals(s, q):
+    # checkpoint_name: under remat policies that save pallas outputs, the
+    # tiny (B,) totals must be saved too — otherwise the backward re-runs
+    # the whole Mosaic kernel just to recompute them
+    from jax.ad_checkpoint import checkpoint_name
+    return (checkpoint_name(jnp.sum(s, axis=1), 'pallas_out'),
+            checkpoint_name(jnp.sum(q, axis=1), 'pallas_out'))
 
 
 def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
-            norm_shift=None):
+            norm_shift=None, emit_stats=False):
     """Dispatching 3x3 conv: fused Pallas on TPU (big scales), XLA otherwise.
     norm_scale/norm_shift: optional folded input-side affine (see
-    conv3x3_pallas)."""
+    conv3x3_pallas).
+    emit_stats: also return the output's GroupNorm(1) totals — a second
+    return value ((B,) sum, (B,) sumsq) f32, or None when the active path
+    cannot emit them for free (ops.chain_stats_mode)."""
     import os
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
@@ -956,10 +1140,19 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 1024 and Cout <= 512
           and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
+    mode = _emit_mode(emit_stats)
+    from jax.ad_checkpoint import checkpoint_name
     if ok:
+        if mode == 'auto':
+            out, s, q = conv3x3_stats_pallas(x, kernel, bias, act,
+                                             norm_scale, norm_shift)
+            return checkpoint_name(out, 'pallas_out'), _totals(s, q)
         out = conv3x3_pallas(x, kernel, bias, act, norm_scale, norm_shift)
         # named for remat policies (save_only_these_names('pallas_out')):
         # saving kernel outputs beats re-running Mosaic kernels in backward
-        from jax.ad_checkpoint import checkpoint_name
-        return checkpoint_name(out, 'pallas_out')
-    return _c3_ref(x, kernel, bias, act, norm_scale, norm_shift)
+        out = checkpoint_name(out, 'pallas_out')
+    else:
+        out = _c3_ref(x, kernel, bias, act, norm_scale, norm_shift)
+    if emit_stats:
+        return out, (_totals(*_stats_of(out)) if mode == 'xla' else None)
+    return out
