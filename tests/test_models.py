@@ -206,17 +206,18 @@ def test_streaming_attention_matches_full(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_windowed_attention_matches_per_window_dense(rng):
+@pytest.mark.parametrize('wy,wx,nh', [(2, 3, 2), (4, 1, 1)])
+def test_windowed_attention_matches_per_window_dense(rng, wy, wx, nh):
     """Each window of the windowed path == dense attention over that window's
     q/k/v alone (the reference's per-1024px-patch attention scope,
-    model/ucdir.py:295-300)."""
+    model/ucdir.py:295-300). (4, 1, 1) is the zero-copy ROW-BAND layout
+    (UCDIR_TPU_ATTN_BANDS) — wx=1 with one head makes the split a reshape."""
     from ucdir_tpu.models.attention import (_windowed_attention,
                                             _dense_attention)
-    b, h, w, nh, d = 2, 8, 12, 2, 4
+    b, h, w, d = 2, 8, 12, 4
     q = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, w, nh, d)), jnp.float32)
-    wy, wx = 2, 3
     out = _windowed_attention(q, k, v, 0.37, wy, wx)
     hw_, ww_ = h // wy, w // wx
     for iy in range(wy):

@@ -123,9 +123,23 @@ class SelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if h * w > _WINDOW_TOKENS:
-            wy = _window_split(h, _WINDOW_TARGET)
-            wx = _window_split(w, _WINDOW_TARGET)
-            o = _windowed_attention(q, k, v, 1.0 / math.sqrt(c), wy, wx)
+            import os
+            if (os.environ.get('UCDIR_TPU_ATTN_BANDS') == '1'
+                    and n_head == 1 and w <= _WINDOW_TOKENS):
+                # ROW-BAND windows (wx=1): with n_head==1 the window split
+                # becomes a PURE RESHAPE — no q/k/v/o transposes (the 2-D
+                # window split relayouts 4 full tensors per call). wy is
+                # chosen so bands hold <= _WINDOW_TOKENS tokens: same
+                # per-window token count == same attention FLOPs, different
+                # scope shape (wide bands vs near-square). Opt-in until the
+                # integrated A/B and a quality check land.
+                wy = next(kk for kk in range(1, h + 1)
+                          if h % kk == 0 and (h // kk) * w <= _WINDOW_TOKENS)
+                o = _windowed_attention(q, k, v, 1.0 / math.sqrt(c), wy, 1)
+            else:
+                wy = _window_split(h, _WINDOW_TARGET)
+                wx = _window_split(w, _WINDOW_TARGET)
+                o = _windowed_attention(q, k, v, 1.0 / math.sqrt(c), wy, wx)
             out = o.reshape(b, h, w, c)
         elif h * w > _STREAM_TOKENS:
             qs = q.reshape(b, h * w, n_head, head_dim).transpose(0, 2, 1, 3)
