@@ -138,3 +138,19 @@ def test_val_phase_with_orbax_checkpoint(workspace):
     val_logs = _find(exp, 'val.log')
     joined = ''.join(open(p).read() for p in sorted(val_logs))
     assert 'psnr' in joined and 'ssim' in joined
+
+
+def test_val_phase_dpmpp_sde_sampler(workspace):
+    """Few-step SDE-DPM-Solver++ val through the real CLI (the alt-driver
+    surface: reference sr.py:17-92's dpm variant, here --sampler)."""
+    tmp, cfg_path = workspace
+    exp = os.path.join(tmp, 'experiments')
+    ckpts = [os.path.join(p, d) for p, dirs, _ in os.walk(exp)
+             for d in dirs if d.startswith('I_Elatest')]
+    assert ckpts, 'train test must run first'
+    _run_sr(tmp, ['-p', 'val', '-c', cfg_path, '--checkpoint', ckpts[-1],
+                  '-debug', '--sampler', 'dpmpp_sde',
+                  '--sampling_timesteps', '3'])
+    val_logs = _find(exp, 'val.log')
+    joined = ''.join(open(p).read() for p in sorted(val_logs))
+    assert 'psnr' in joined and 'ssim' in joined
