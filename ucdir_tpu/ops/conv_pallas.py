@@ -810,16 +810,19 @@ def head_conv3x3(x, kernel, bias, norm_scale, norm_shift, use_pallas=False):
     return _c3p_ref(x, kernel, bias, norm_scale, norm_shift)
 
 
-def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
-                     fold, emit=False):
+def _downconv_kernel(he_ref, ho_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout,
+                     W, R, fold, emit=False):
     """Stride-2 3x3 SAME conv (the reference Downsample, ucdir.py:63-69).
-    h_ref: (1, 2R+1, W, Cin) Element block of the UNPADDED input at row
-    offset clip(2yR-1, 0, H-2R-1) — for even H/W the stride-2 taps never
-    read the bottom/right pad, so only the top block stages a border row.
-    Each staged row is compacted at stage time into a stride-2 x-im2col
-    (W2, 3Cin) via two strided value slices; output row r then contracts
-    three K=3Cin dots on xcol rows 2r..2r+2 — no strided access in the hot
-    loop and half-width scratch traffic."""
+    he_ref/ho_ref: (1, 2R+1, W2, Cin) Element blocks of the even-/odd-column
+    deinterleave of the UNPADDED input at row offset clip(2yR-1, 0, H-2R-1)
+    — for even H/W the stride-2 taps never read the bottom/right pad, so
+    only the top block stages a border row. The column deinterleave happens
+    in XLA OUTSIDE the kernel (real Mosaic rejects stride-2 value slices:
+    'extract_strided_slice op expected strides to be confined to [1, 2)');
+    each staged row is compacted into a stride-2 x-im2col (W2, 3Cin) with
+    plain copies, and output row r contracts three K=3Cin dots on xcol rows
+    2r..2r+2 — no strided access anywhere in the kernel and half-width
+    scratch traffic."""
     n = 2 if fold else 0
     a_ref = rest[0] if fold else None
     t_ref = rest[1] if fold else None
@@ -837,11 +840,11 @@ def _downconv_kernel(h_ref, w_ref, b_ref, v_ref, *rest, Cin, Cout, W, R,
                     xcol_ref[l, :, t * Cin:(t + 1) * Cin] = \
                         jnp.broadcast_to(vrow, (W2, Cin))
                 continue
-            row = h_ref[0, l - off]                          # (W, Cin)
+            even = he_ref[0, l - off]                        # (W2, C)
+            odd = ho_ref[0, l - off]                         # (W2, C)
             if fold:
-                row = row * a_ref[0] + t_ref[0]
-            odd = jax.lax.slice(row, (1, 0), (W, Cin), (2, 1))      # (W2, C)
-            even = jax.lax.slice(row, (0, 0), (W - 1, Cin), (2, 1))  # (W2, C)
+                even = even * a_ref[0] + t_ref[0]
+                odd = odd * a_ref[0] + t_ref[0]
             # tap cols for output x: padded 2x (tx=0), 2x+1 (tx=1), 2x+2
             # (tx=2) = [v, odd[:-1]], even, odd
             xcol_ref[l, 1:W2, 0:Cin] = odd[0:W2 - 1]
@@ -903,17 +906,21 @@ def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
                              memory_space=pltpu.VMEM)
     if emit_stats:
         out_shape, out_specs = _with_stats_outs(out_shape, out_specs, B, Cout)
+    # Column deinterleave in XLA (Mosaic rejects stride-2 value slices);
+    # the two halves fuse into the pallas operands as strided-slice reads.
+    halo_spec = pl.BlockSpec((_Element(1), _Element(2 * R + 1), _Element(W2),
+                              _Element(Cin)),
+                             lambda b, y: (b, jnp.clip(2 * y * R - 1, 0,
+                                                       H - 2 * R - 1), 0, 0),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_downconv_kernel, Cin=Cin, Cout=Cout, W=W, R=R,
                           fold=fold, emit=emit_stats),
         out_shape=out_shape,
         grid=(B, H2 // R),
         in_specs=[
-            pl.BlockSpec((_Element(1), _Element(2 * R + 1), _Element(W),
-                          _Element(Cin)),
-                         lambda b, y: (b, jnp.clip(2 * y * R - 1, 0,
-                                                   H - 2 * R - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
+            halo_spec,
+            halo_spec,
             pl.BlockSpec((9 * Cin, Cout), lambda b, y: (0, 0),
                          memory_space=pltpu.VMEM),
             b_spec,
@@ -923,13 +930,13 @@ def _downconv_forward(x, kernel, bias, norm_scale=None, norm_shift=None,
         scratch_shapes=[pltpu.VMEM((2 * R + 1, W2, 3 * Cin), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
-            allow_input_fusion=[True] + [False] * (3 + len(extra))),
+            allow_input_fusion=[True, True] + [False] * (3 + len(extra))),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * B * H2 * W2 * Cin * Cout,
             bytes_accessed=x.dtype.itemsize * B * H * W * Cin
             + x.dtype.itemsize * B * H2 * W2 * Cout,
             transcendentals=0),
-    )(x, w2, b2, v2, *extra)
+    )(x[:, :, 0::2, :], x[:, :, 1::2, :], w2, b2, v2, *extra)
     if emit_stats:
         return out[0], out[1][:, 0], out[2][:, 0]
     return out
