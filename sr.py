@@ -126,7 +126,9 @@ def main():
                         help='fused Pallas kernels where measured faster '
                              '(auto-disabled off-TPU and at shapes where the '
                              'XLA dispatch wins). Default: on for val '
-                             '(measured 1.5x), off for train; '
+                             '(measured 1.5x) AND train (0.599 vs 0.619 '
+                             's/step @ B=8 256px with the hand-written '
+                             'backward kernels, tools/train_bench.py r3); '
                              '--use_pallas/--no-use_pallas force it.')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
@@ -231,7 +233,10 @@ def main():
 
     use_pallas = args.use_pallas
     if use_pallas is None:
-        use_pallas = (args.phase == 'val')
+        # val: 1.5x (r2); train: 0.599 vs 0.619 s/step with the hand-written
+        # custom_vjp backward kernels (tools/train_bench.py, r3 A/B) — both
+        # phases default on, loss parity 0.96909+-4e-6 across modes.
+        use_pallas = True
     diffusion = Model.create_model(opt, use_pallas=use_pallas)
     logger.info('Initial Model Finished')
 

@@ -44,9 +44,12 @@ from ucdir_tpu.ops import vmem_limit_bytes as _vmem_limit
 
 def _use_xcol() -> bool:
     """x-only im2col staging (see _stage_xcol): trade the 9-tap per-output-
-    row scratch stores for 3 stores per staged row + three K=3C dots."""
+    row scratch stores for 3 stores per staged row + three K=3C dots.
+
+    Default ON: integrated SID whole-image A/B on real TPU measured
+    724.7 vs 753.5 ms/step (-3.8%, tools/ab_sid.py, r3)."""
     import os
-    return os.environ.get('UCDIR_TPU_XCOL', '0') == '1'
+    return os.environ.get('UCDIR_TPU_XCOL', '1') == '1'
 
 
 def _selection_matrix(C: int, G: int, dtype) -> np.ndarray:
