@@ -128,8 +128,11 @@ def main():
                              'XLA dispatch wins). Default: on for val '
                              '(measured 1.5x) AND train (0.599 vs 0.619 '
                              's/step @ B=8 256px with the hand-written '
-                             'backward kernels, tools/train_bench.py r3); '
-                             '--use_pallas/--no-use_pallas force it.')
+                             'backward kernels, tools/train_bench.py r3). '
+                             'NOTE: the fused backward gates on crop width '
+                             '<= 1024 — train defaults OFF above that (the '
+                             'XLA-recompute fallback is slower than no '
+                             'pallas). --use_pallas/--no-use_pallas force.')
     parser.add_argument('--distributed', action='store_true',
                         help='multi-host: call jax.distributed.initialize()')
     parser.add_argument('--platform', type=str, default=None,
@@ -154,8 +157,17 @@ def main():
                              'datasets; 0 = exact shapes)')
     parser.add_argument('--val_patch', action='store_true',
                         help='outer-loop tiled sampling alt driver')
+    parser.add_argument('--patch_skip', type=int, default=1024,
+                        help='val_patch tile size (reference sr.py:30)')
+    parser.add_argument('--patch_padding', type=int, default=64,
+                        help='val_patch tile halo (reference sr.py:31)')
     parser.add_argument('--search_params', action='store_true',
                         help='val sampler hyperparameter grid search')
+    parser.add_argument('--search_steps', type=str, default='25,50,100',
+                        help='search_params n_timestep grid (comma list; '
+                             'reference sr.py:67)')
+    parser.add_argument('--search_ends', type=str, default='0.2,0.4,0.6',
+                        help='search_params linear_end grid (comma list)')
     args = parser.parse_args()
 
     import jax
@@ -237,6 +249,18 @@ def main():
         # custom_vjp backward kernels (tools/train_bench.py, r3 A/B) — both
         # phases default on, loss parity 0.96909+-4e-6 across modes.
         use_pallas = True
+        if args.phase == 'train':
+            # the fused backward kernels gate on W <= 1024 (akgm_pallas.
+            # _use_pallas_bwd); beyond that the forward kernels would pair
+            # with the slow XLA-recompute vjp (measured ~1.7 s/step vs 0.62
+            # at 256px) — default OFF for larger train crops.
+            crop = int((((opt.get('datasets') or {}).get('train') or {})
+                        .get('data_args') or {}).get('crop_size') or 0)
+            if crop > 1024:
+                use_pallas = False
+                logger.info('use_pallas default OFF for train crop %d > 1024 '
+                            '(fused backward kernels gate on W <= 1024); '
+                            'pass --use_pallas to force.', crop)
     diffusion = Model.create_model(opt, use_pallas=use_pallas)
     logger.info('Initial Model Finished')
 
@@ -343,10 +367,16 @@ def main():
     else:
         logger.info('Begin Model Evaluation. len ' + str(len(val_loader)))
         if args.search_params:
-            search_params(opt, val_loader, diffusion, Metrics, logger)
+            search_params(
+                opt, val_loader, diffusion, Metrics, logger,
+                n_timesteps=tuple(int(s) for s in
+                                  args.search_steps.split(',')),
+                linear_ends=tuple(float(s) for s in
+                                  args.search_ends.split(',')))
             return
         if args.val_patch:
-            val_patch(opt, val_loader, val_set, diffusion, Metrics, logger)
+            val_patch(opt, val_loader, val_set, diffusion, Metrics, logger,
+                      skip=args.patch_skip, padding=args.patch_padding)
             return
         avg_psnr = avg_ssim = 0.0
         idx = 0

