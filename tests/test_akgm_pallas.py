@@ -123,7 +123,10 @@ def test_block_fused_backward_matches_reference(rng, fold, attw_on):
 
 @pytest.mark.parametrize('fold', [False, True])
 @pytest.mark.parametrize('R', [2, 4])
-def test_block_padfree_matches_reference(rng, fold, R):
+def test_block_padfree_matches_reference(rng, fold, R, monkeypatch):
+    # pin XCOL=0: covers the 9-tap scratch staging branch (the XCOL default
+    # flip in r3 would otherwise leave it untested)
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '0')
     h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, fold=fold,
                                                    attw=True)
     want = _block_ref(h, att, k, b, res, G, ns, nt, aw)

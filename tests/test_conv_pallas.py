@@ -42,7 +42,10 @@ def test_padded_forward_matches_xla(rng, fold, act):
 
 @pytest.mark.parametrize('fold', [False, True])
 @pytest.mark.parametrize('R', [2, 4])
-def test_padfree_forward_matches_xla(rng, fold, R):
+def test_padfree_forward_matches_xla(rng, fold, R, monkeypatch):
+    # pin XCOL=0: this test covers the 9-tap scratch staging branch, which
+    # the XCOL default flip ('1', r3) would otherwise leave untested
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '0')
     # H/R >= 2 so the top/interior/bottom branches all execute; B=2 checks
     # the per-batch fold operand indexing
     x, k, b, ns, nt = _data(rng, B=2, H=8, W=16, fold=fold)
@@ -79,8 +82,10 @@ def test_xcol_preact_matches_xla(rng, monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_padfree_two_blocks_boundary(rng):
-    # ny == 2: both boundary branches, no interior program
+def test_padfree_two_blocks_boundary(rng, monkeypatch):
+    # ny == 2: both boundary branches, no interior program (XCOL=0 pins the
+    # 9-tap scratch staging branch)
+    monkeypatch.setenv('UCDIR_TPU_XCOL', '0')
     x, k, b, ns, nt = _data(rng, H=8, fold=False)
     want = _c3_ref(x, k, b, None, None, None)
     with pltpu.force_tpu_interpret_mode():

@@ -39,9 +39,15 @@ def build_and_run(mode, x, key):
 
 
 def main():
-    # Default is half-SID: same whole-image path and pallas kernels at the
-    # /1,/2,/4 scales, ~4x faster compile than 1424x2128 (two cold compiles
-    # of the 3-step program fit the round's wall-clock budget).
+    # Default is half-SID (712x1064 -> padded 840x1192, /32 -> 864x1216),
+    # ~4x faster compile than full SID. Dispatch coverage vs the shipped
+    # full-SID program: conv3x3/downconv kernels at /1 (864) and /2 (432,
+    # >= MIN_DIM 384) SAME; windowed attention at /8 (108x152 = 16416 >=
+    # 16384 tokens) SAME; the C=256 AKGM tail at /4 (216x304 = 65k px)
+    # would be area-gated OFF (full SID: ON) — so TAIL_MAX_C is pinned
+    # below to force the full-SID decision. Run `python tools/ab_parity.py
+    # 1424 2128` for the exact production program at least once per round.
+    os.environ.setdefault('UCDIR_TPU_TAIL_MAX_C', '256')
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 712
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1064
     key = jax.random.PRNGKey(7)

@@ -1,0 +1,154 @@
+"""Quality A/B for the untiled+windowed headline eval path (VERDICT r3 #3).
+
+The r3 headline runs >1024^2 images UNTILED (seamless whole-image UNet,
+windowed attention above 16384 tokens) while the reference tiles them
+(model/ucdir.py:295-307, 1024px tiles / 64px halos, global attention per
+tile at /8 = 128^2 = 16384 tokens). This measures the QUALITY side of that
+redesign on a trained model:
+
+  1. trains a toy sid-SHAPED guided diffusion model — attention at the /8
+     scale exactly like configs/sid.yaml (tile/8 = 128^2 tokens -> GLOBAL
+     inside a reference tile; windowed on the bigger untiled map) — on
+     synthetic denoising pairs until it restores well past the input PSNR;
+  2. samples ONE >1024^2 held-out image three ways through the REAL eval
+     program (train/step.make_eval_step):
+       A untiled + windowed attention        (the shipped headline default)
+       B reference-semantics tiled           (tile {1024, 64}, resident)
+       C untiled + GLOBAL attention          (UCDIR_TPU_ATTN_WINDOW_TOKENS
+                                              raised; isolates the windowed
+                                              softmax from the tiling delta)
+  3. prints PSNR vs GT for each + pairwise deltas. The reverse processes
+     draw different noise (different canvas paddings), so pairwise numbers
+     include sampler stochasticity; PSNR-vs-GT is the quality verdict.
+
+Run on TPU: timeout 3600 python tools/quality_ab.py [H W] (default
+1152x1664: padded /8 map 160x216 = 34,560 tokens -> windowed untiled, two
+1024-tiles-per-axis tiled). Results recorded in PARITY.md.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ucdir_tpu.models.dy3h import DY3h
+from ucdir_tpu.diffusion import ResiGaussianGuideDY
+from ucdir_tpu.schedule import make_schedule
+from ucdir_tpu.train import (make_optimizer, create_train_state,
+                             make_train_step)
+from ucdir_tpu.train.step import make_eval_step
+from ucdir_tpu.metrics import calculate_psnr, tensor2img
+
+rng = np.random.default_rng(0)
+NOISE_SIGMA = 0.35
+
+
+def clean_canvas(h, w, seed):
+    """Smooth multi-scale sin/cos pattern — translation-covariant content so
+    a 64px-crop-trained model generalizes to any canvas size."""
+    r = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(6):
+        p1, p2 = r.uniform(8, 60), r.uniform(8, 60)
+        img += r.uniform(0.1, 0.4) * np.sin(
+            xx / p1 + r.uniform(0, 6)) * np.cos(yy / p2 + r.uniform(0, 6))
+    img3 = np.stack([img, np.roll(img, 9, 0), np.roll(img, 9, 1)], -1)
+    return np.clip(img3, -1, 1)
+
+
+def make_batch(n, s=64):
+    imgs = np.stack([clean_canvas(s, s, int(rng.integers(1 << 30)))
+                     for _ in range(n)])
+    noisy = np.clip(imgs + rng.normal(0, NOISE_SIGMA, imgs.shape), -1, 1)
+    return {'HR': jnp.asarray(imgs, jnp.float32),
+            'SR': jnp.asarray(noisy, jnp.float32)}
+
+
+def main():
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 1664
+    steps = int(os.environ.get('QAB_TRAIN_STEPS', '3000'))
+
+    # sid-shaped toy: attention at /8 (attn_res 8 with image_size 64), same
+    # norm_groups/diffusion family as configs/sid.yaml, 16x thinner
+    unet = DY3h(in_channel=6, out_channel=3, inner_channel=16,
+                channel_mults=(1, 2, 4, 8), attn_res=(8,), res_blocks=1,
+                dropout=0.0, norm_groups=1, image_size=64, remat=False)
+    module = ResiGaussianGuideDY(denoise_fn=unet, image_size=64, channels=3)
+    key = jax.random.PRNGKey(0)
+    b0 = make_batch(16)
+    variables = jax.jit(module.init)(
+        {'params': key, 'dropout': key}, b0, jnp.ones((16, 1)) * .5,
+        jnp.zeros_like(b0['HR']))
+    sched = make_schedule(dict(schedule='linear', n_timestep=2000,
+                               linear_start=1e-6, linear_end=1e-2))
+    tx = make_optimizer({'type': 'adamw', 'lr': 3e-4})
+    state = create_train_state(
+        variables['params'], tx,
+        {'use': True, 'ema_decay': 0.999, 'step_start_ema': 100,
+         'update_ema_every': 1})
+    step = make_train_step(module, sched, compute_dtype=jnp.bfloat16)
+
+    t0 = time.time()
+    batch = b0
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        if i % 10 == 0:
+            batch = make_batch(16)
+        state, m = step(state, batch, k)
+        if i % 500 == 0:
+            print('train %d l_pix %.4f (%.0fs)' %
+                  (i, float(m['l_pix']), time.time() - t0), flush=True)
+    params = {'params': jax.device_get(state.params)}
+
+    # held-out big image
+    gt = clean_canvas(H, W, seed=777)
+    noisy = np.clip(gt + np.random.default_rng(7).normal(
+        0, NOISE_SIGMA, gt.shape), -1, 1)
+    x = jnp.asarray(noisy[None], jnp.float32)
+    gt8 = tensor2img(gt)
+    print('input PSNR %.2f dB' % calculate_psnr(tensor2img(noisy), gt8),
+          flush=True)
+
+    vsched = make_schedule(dict(schedule='linear', n_timestep=50,
+                                linear_start=1e-6, linear_end=0.4))
+    kk = jax.random.PRNGKey(123)
+    legs = [
+        ('A untiled+windowed', dict(pad=64), {}),
+        ('B tiled-resident {1024,64}', dict(
+            pad=64, tile={'skip': 1024, 'padding': 64}, seg_steps=25), {}),
+        ('C untiled+GLOBAL-attn', dict(pad=64),
+         {'UCDIR_TPU_ATTN_WINDOW_TOKENS': '1000000000'}),
+    ]
+    outs = {}
+    for name, kw, env in legs:
+        for e, v in env.items():
+            os.environ[e] = v
+        ev = make_eval_step(module, vsched, compute_dtype=jnp.bfloat16, **kw)
+        t0 = time.time()
+        out = ev(params, x, kk)[0]
+        out = np.asarray(out.astype(jnp.float32))
+        for e in env:
+            del os.environ[e]
+        psnr = calculate_psnr(tensor2img(out[0]), gt8)
+        outs[name[0]] = out[0]
+        print('QAB %s: PSNR %.2f dB (%.0fs incl. compile)' %
+              (name, psnr, time.time() - t0), flush=True)
+
+    for a, b in (('A', 'B'), ('A', 'C')):
+        d = outs[a] - outs[b]
+        print('QAB %s-vs-%s: pairwise PSNR %.2f dB, mean|d| %.4f, max|d| '
+              '%.3f (includes sampler noise — different canvas paddings '
+              'draw different keys)' %
+              (a, b, calculate_psnr(tensor2img(outs[a]),
+                                    tensor2img(outs[b])),
+               float(np.abs(d).mean()), float(np.abs(d).max())), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,12 +1,15 @@
 """Train-step throughput A/B on real TPU: pallas kernels + remat policy.
 
-Usage: python tools/train_bench.py [pallas|xla] [B] [S]
+Usage: python tools/train_bench.py [pallas|xla] [remat|noremat] [B] [S]
 
 Times the full jitted train step (fwd+bwd+opt+EMA) on the sid config's model
 at batch B (default 8) and crop S (default 256), bf16 compute. r2 baseline:
 xla 0.508 s/step, pallas-under-full-remat 0.589 (pallas lost — kernels were
 re-run in backward). The save_only_these_names('pallas_out') policy saves
 kernel outputs instead; this measures whether pallas now wins training.
+`noremat` disables per-block gradient checkpointing entirely (VERDICT r3
+item 5: with hand-written bwd kernels the memory argument changed — measure
+whether the recompute is still worth it at this batch/crop).
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,13 +25,14 @@ from ucdir_tpu.train.optim import make_optimizer
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else 'pallas'
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    S = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    remat = (sys.argv[2] if len(sys.argv) > 2 else 'remat') != 'noremat'
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    S = int(sys.argv[4]) if len(sys.argv) > 4 else 256
     cfg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'ucdir_tpu', 'configs', 'sid.yaml')
     opt = parse(cfg, phase='train', checkpoint=None, num_processes=1,
                 make_dirs=False)
-    module = define_G(opt, use_pallas=(mode == 'pallas'), remat=True)
+    module = define_G(opt, use_pallas=(mode == 'pallas'), remat=remat)
     sched = make_schedule(opt['model']['beta_schedule']['train'])
     key = jax.random.PRNGKey(0)
     batch = {'HR': jax.random.uniform(key, (B, S, S, 3), jnp.float32, -1, 1),
@@ -67,8 +71,8 @@ def main():
                       100 * fl / dt / 121e12))
     except Exception as e:  # cost_analysis is backend-dependent
         mfu = ' | cost_analysis unavailable (%s)' % type(e).__name__
-    print('%s B=%d S=%d: %.4f s/step (%.2f img/s)%s'
-          % (mode, B, S, dt, B / dt, mfu))
+    print('%s%s B=%d S=%d: %.4f s/step (%.2f img/s)%s'
+          % (mode, '' if remat else '-noremat', B, S, dt, B / dt, mfu))
 
 
 if __name__ == '__main__':

@@ -33,6 +33,15 @@ _WINDOW_TOKENS = 16384
 _WINDOW_TARGET = 144     # tokens per axis per window (reference patch: 128)
 
 
+def _window_tokens() -> int:
+    """Windowed-attention threshold — trace-time env override
+    UCDIR_TPU_ATTN_WINDOW_TOKENS (quality/perf A/Bs: tools/quality_ab.py
+    raises it to force GLOBAL attention on untiled >16384-token maps)."""
+    import os
+    return int(os.environ.get('UCDIR_TPU_ATTN_WINDOW_TOKENS',
+                              _WINDOW_TOKENS))
+
+
 def _streaming_attention(q, k, v, scale):
     """softmax(q k^T * scale) v via online-softmax over query chunks.
 
@@ -122,10 +131,11 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h, w, n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if h * w > _WINDOW_TOKENS:
+        win_tokens = _window_tokens()
+        if h * w > win_tokens:
             import os
             if (os.environ.get('UCDIR_TPU_ATTN_BANDS') == '1'
-                    and n_head == 1 and w <= _WINDOW_TOKENS):
+                    and n_head == 1 and w <= win_tokens):
                 # ROW-BAND windows (wx=1): with n_head==1 the window split
                 # becomes a PURE RESHAPE — no q/k/v/o transposes (the 2-D
                 # window split relayouts 4 full tensors per call). wy is
