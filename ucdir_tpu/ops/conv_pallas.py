@@ -1078,6 +1078,7 @@ def upconv2x(x, kernel, bias, use_pallas=False, emit_stats=False):
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
+          and os.environ.get('UCDIR_TPU_NO_PALLAS_UP') != '1'
           # the OUTPUT is 2H x 2W — gate on the output scale like conv3x3
           and 2 * min(H, W) >= min_dim and W <= _MAX_WIDTH
           and Cin <= 1024 and 4 * Cout <= 2048
@@ -1145,6 +1146,9 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
+          # bisect knob: tiny-Cin convs (downs_0 6->64) route to the kernel
+          # since r3; UCDIR_TPU_CONV_MIN_CIN reverts them to XLA for A/Bs
+          and Cin >= int(os.environ.get('UCDIR_TPU_CONV_MIN_CIN', '0'))
           and Cin <= 1024 and Cout <= 512
           and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
     mode = _emit_mode(emit_stats)
