@@ -9,9 +9,12 @@ Parity targets in /root/reference/data/LRHR_dataset.py:
   ImagenetJPGDataset    :446-515 (center crop + cv2 JPEG at quality factor)
   ImagenetColorDataset  :518-558 (gray 3-channel input)
 
-Storage: local filesystem only. The reference's memcached/ceph/lmdb backends
-(LRHR_dataset.py:31-130) are cluster-specific side channels; the `datatype`
-config values ('img'/'mc'/'lmdb') are accepted and all resolve to file IO.
+Storage: local filesystem ('img'/'mc' — memcached/ceph are cluster-specific
+side channels that resolve to file IO here, LRHR_dataset.py:31-130) and
+'lmdb' via the from-scratch pure-Python reader in lmdb_io.py (the `lmdb`
+C binding is absent from this image; key schema matches the reference:
+LRHR_dataset.py:144-201 — 'length', 'hr_{M}_{i:05d}', 'sr_{N}_{M}_{i:05d}',
+'lr_{N}_{i:05d}', values = encoded image bytes).
 """
 from __future__ import annotations
 
@@ -39,6 +42,15 @@ class LRHRDataset(_Base):
                  **kwargs):
         self.split = split
         self.need_LR = need_LR
+        self.l_res, self.r_res = l_resolution, r_resolution
+        self.datatype = datatype
+        if datatype == 'lmdb':
+            # reference: lmdb.open(dataroot).get (LRHR_dataset.py:144-152)
+            from ucdir_tpu.data.lmdb_io import LmdbReader
+            self.env = LmdbReader(dataroot)
+            n = int(self.env.get('length'))
+            self.data_len = self._resolve_len(n, data_len)
+            return
         self.sr_path = Util.get_paths_from_images(
             '{}/sr_{}_{}'.format(dataroot, l_resolution, r_resolution))
         self.hr_path = Util.get_paths_from_images(
@@ -48,16 +60,43 @@ class LRHRDataset(_Base):
                 '{}/lr_{}'.format(dataroot, l_resolution))
         self.data_len = self._resolve_len(len(self.hr_path), data_len)
 
+    def _lmdb_item(self, index):
+        """Reference key schema + invalid-index resample loop
+        (LRHR_dataset.py:191-206)."""
+        import io
+        import random
+
+        def fetch(i):
+            hr = self.env.get('hr_{}_{}'.format(self.r_res, str(i).zfill(5)))
+            sr = self.env.get('sr_{}_{}_{}'.format(self.l_res, self.r_res,
+                                                   str(i).zfill(5)))
+            lr = (self.env.get('lr_{}_{}'.format(self.l_res,
+                                                 str(i).zfill(5)))
+                  if self.need_LR else None)
+            return hr, sr, lr
+
+        hr, sr, lr = fetch(index)
+        while hr is None or sr is None:
+            hr, sr, lr = fetch(random.randint(0, self.data_len - 1))
+        dec = [np.asarray(Image.open(io.BytesIO(b)).convert('RGB'))
+               for b in ((lr, sr, hr) if self.need_LR else (sr, hr))]
+        return dec
+
     def __getitem__(self, index):
-        img_HR = Util.load_img(self.hr_path[index])
-        img_SR = Util.load_img(self.sr_path[index])
+        if self.datatype == 'lmdb':
+            imgs = self._lmdb_item(index)
+        elif self.need_LR:
+            imgs = [Util.load_img(p[index]) for p in
+                    (self.lr_path, self.sr_path, self.hr_path)]
+        else:
+            imgs = [Util.load_img(p[index]) for p in
+                    (self.sr_path, self.hr_path)]
         if self.need_LR:
-            img_LR = Util.load_img(self.lr_path[index])
             img_LR, img_SR, img_HR = Util.transform_augment(
-                [img_LR, img_SR, img_HR], split=self.split, min_max=(-1, 1))
+                imgs, split=self.split, min_max=(-1, 1))
             return {'LR': img_LR, 'HR': img_HR, 'SR': img_SR, 'Index': index}
         img_SR, img_HR = Util.transform_augment(
-            [img_SR, img_HR], split=self.split, min_max=(-1, 1))
+            imgs, split=self.split, min_max=(-1, 1))
         return {'HR': img_HR, 'SR': img_SR, 'Index': index}
 
 
