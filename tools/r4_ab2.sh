@@ -21,4 +21,10 @@ run 512-allr2   env UCDIR_TPU_CONV_BIGC=100000 UCDIR_TPU_NO_PALLAS_UP=1 \
 run sid-pfall   env UCDIR_TPU_PADFREE=1 python tools/ab_sid.py 6 1424 2128 pfall
 run sid-min196  env UCDIR_TPU_CONV_MIN_DIM=196 python tools/ab_sid.py 6 1424 2128 min196
 
+# resident vs reassembling again at 18 steps: the 6-step legs are ~17%
+# per-image fixed cost (predictor/guide/extract/materialize), which buries
+# the per-step delta VERDICT item 1 asks about
+run res18-resident   python tools/ab_resident.py resident18 18
+run res18-reassemble env UCDIR_TPU_NO_RESIDENT=1 python tools/ab_resident.py reassemble18 18
+
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"
