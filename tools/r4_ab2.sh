@@ -12,9 +12,11 @@ run() { local desc=$1; shift; echo "== $(date +%H:%M:%S) $desc" >> "$LOG";
 run 512-nobigc  env UCDIR_TPU_CONV_BIGC=100000 python tools/ab512.py nobigc 50 3
 run 512-noup    env UCDIR_TPU_NO_PALLAS_UP=1 python tools/ab512.py noup 50 3
 run 512-mincin  env UCDIR_TPU_CONV_MIN_CIN=16 python tools/ab512.py mincin 50 3
+run 512-mincout env UCDIR_TPU_CONV_MIN_COUT=16 python tools/ab512.py mincout 50 3
 # everything suspicious off at once (r2-like dispatch at 512px)
 run 512-allr2   env UCDIR_TPU_CONV_BIGC=100000 UCDIR_TPU_NO_PALLAS_UP=1 \
-    UCDIR_TPU_CONV_MIN_CIN=16 UCDIR_TPU_NO_PALLAS_DOWN=1 python tools/ab512.py allr2 50 3
+    UCDIR_TPU_CONV_MIN_CIN=16 UCDIR_TPU_CONV_MIN_COUT=16 \
+    UCDIR_TPU_NO_PALLAS_DOWN=1 python tools/ab512.py allr2 50 3
 
 # SID: extend pad-free below Cin=128 (pads were 7.5% of the step) and
 # re-try the /8 convs on the pad-free+XCOL kernels (VERDICT item 4)

@@ -1146,9 +1146,11 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
-          # bisect knob: tiny-Cin convs (downs_0 6->64) route to the kernel
-          # since r3; UCDIR_TPU_CONV_MIN_CIN reverts them to XLA for A/Bs
+          # bisect knobs: tiny-Cin (downs_0 6->64) and tiny-Cout
+          # (final_conv 64->3, 3/128 output lanes) convs route to the kernel
+          # since r3; these revert them to XLA for A/Bs
           and Cin >= int(os.environ.get('UCDIR_TPU_CONV_MIN_CIN', '0'))
+          and Cout >= int(os.environ.get('UCDIR_TPU_CONV_MIN_COUT', '0'))
           and Cin <= 1024 and Cout <= 512
           and W * 9 * Cin * x.dtype.itemsize <= _MAX_SCRATCH)
     mode = _emit_mode(emit_stats)
