@@ -18,6 +18,9 @@ run 512-allr2   env UCDIR_TPU_CONV_BIGC=100000 UCDIR_TPU_NO_PALLAS_UP=1 \
     UCDIR_TPU_CONV_MIN_CIN=16 UCDIR_TPU_CONV_MIN_COUT=16 \
     UCDIR_TPU_NO_PALLAS_DOWN=1 python tools/ab512.py allr2 50 3
 
+# train: is XCOL the 0.599 -> 0.611 train delta? (ADVICE item 4)
+run tr-xcol0 env UCDIR_TPU_XCOL=0 python tools/train_bench.py pallas remat
+
 # SID: extend pad-free below Cin=128 (pads were 7.5% of the step) and
 # re-try the /8 convs on the pad-free+XCOL kernels (VERDICT item 4)
 run sid-pfall   env UCDIR_TPU_PADFREE=1 python tools/ab_sid.py 6 1424 2128 pfall
