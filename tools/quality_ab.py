@@ -117,7 +117,8 @@ def main():
 
     vsched = make_schedule(dict(schedule='linear', n_timestep=50,
                                 linear_start=1e-6, linear_end=0.4))
-    kk = jax.random.PRNGKey(123)
+    seeds = [int(s) for s in os.environ.get('QAB_SEEDS',
+                                            '123,456,789').split(',')]
     legs = [
         ('A untiled+windowed', dict(pad=64), {}),
         ('B tiled-resident {1024,64}', dict(
@@ -131,14 +132,20 @@ def main():
             os.environ[e] = v
         ev = make_eval_step(module, vsched, compute_dtype=jnp.bfloat16, **kw)
         t0 = time.time()
-        out = ev(params, x, kk)[0]
-        out = np.asarray(out.astype(jnp.float32))
+        psnrs = []
+        for s in seeds:   # ancestral sampling is stochastic — average seeds
+            out = ev(params, x, jax.random.PRNGKey(s))[0]
+            out = np.asarray(out.astype(jnp.float32))
+            psnrs.append(calculate_psnr(tensor2img(out[0]), gt8))
+            if s == seeds[0]:
+                outs[name[0]] = out[0]
         for e in env:
             del os.environ[e]
-        psnr = calculate_psnr(tensor2img(out[0]), gt8)
-        outs[name[0]] = out[0]
-        print('QAB %s: PSNR %.2f dB (%.0fs incl. compile)' %
-              (name, psnr, time.time() - t0), flush=True)
+        print('QAB %s: PSNR %.2f +- %.2f dB over %d seeds %s '
+              '(%.0fs incl. compile)' %
+              (name, float(np.mean(psnrs)), float(np.std(psnrs)),
+               len(seeds), ['%.2f' % p for p in psnrs],
+               time.time() - t0), flush=True)
 
     for a, b in (('A', 'B'), ('A', 'C')):
         d = outs[a] - outs[b]

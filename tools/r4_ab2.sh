@@ -32,4 +32,8 @@ run sid-min196  env UCDIR_TPU_CONV_MIN_DIM=196 python tools/ab_sid.py 6 1424 212
 run res18-resident   python tools/ab_resident.py resident18 18
 run res18-reassemble env UCDIR_TPU_NO_RESIDENT=1 python tools/ab_resident.py reassemble18 18
 
+# quality A/B rerun with 3 seeds per leg (the single-seed r4 run showed a
+# 2.3 dB A-vs-B gap that may be sampler stochasticity)
+echo "== $(date +%H:%M:%S) quality3" >> "$LOG"
+timeout 5400 python tools/quality_ab.py >> "$LOG" 2>&1 || echo "LEG-FAIL quality3" >> "$LOG"
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"
