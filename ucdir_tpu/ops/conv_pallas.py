@@ -1139,9 +1139,13 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
     # big-channel convs (the /8-scale 1024->512 / 768->512 at whole-image
     # SID size) amortize the staging at much smaller spatial dims — XLA runs
     # them at ~33 TF/s vs the kernel's ~80; a blanket MIN_DIM drop regressed
-    # the step (small-Cin /8 convs lose), so the exception gates on Cin
+    # the step (small-Cin /8 convs lose), so the exception gates on Cin.
+    # BIGC_MIN_DIM default 192 (was 128): at 128^2 maps (512px eval /4) the
+    # big-Cin kernels LOSE 13% integrated — the r3 512px regression, r4
+    # bisect tools/ab512.py nobigc leg (0.426 vs 0.372 img/s). SID's /8 maps
+    # are 194+ so the SID program is unchanged by the 192 floor.
     if Cin >= int(os.environ.get('UCDIR_TPU_CONV_BIGC', '512')):
-        min_dim = int(os.environ.get('UCDIR_TPU_CONV_BIGC_MIN_DIM', '128'))
+        min_dim = int(os.environ.get('UCDIR_TPU_CONV_BIGC_MIN_DIM', '192'))
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
