@@ -261,3 +261,46 @@ def test_window_attention_module_path(rng):
     # here only that the forward runs and differs where perturbed.
     assert np.abs(np.asarray(windowed2 - windowed))[:, 4:].mean() > 1e-3
     assert windowed.shape == x.shape
+
+
+def test_shifted_window_attention_is_roll_of_unshifted(rng, monkeypatch):
+    """UCDIR_TPU_ATTN_SHIFT=1: a parity-1 attention layer must equal
+    roll^-1(module_noshift(roll(x))) with the same params — the shift changes
+    ONLY the window partition (GroupNorm stats are roll-invariant, 1x1 convs
+    roll-equivariant, and roll^-1(roll(x)) cancels in the residual)."""
+    import zlib
+    import flax.linen as nn
+    import ucdir_tpu.models.attention as attn_mod
+
+    class Wrap(nn.Module):           # nest so the module path is non-empty
+        aname: str
+
+        @nn.compact
+        def __call__(self, x):
+            return SelfAttention(in_channel=16, norm_groups=1,
+                                 name=self.aname)(x)
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 16)) * 0.5, jnp.float32)
+    old = (attn_mod._WINDOW_TOKENS, attn_mod._WINDOW_TARGET)
+    try:
+        attn_mod._WINDOW_TOKENS = 16
+        attn_mod._WINDOW_TARGET = 6       # windows: (4, 6)
+        name = next('attn%d' % i for i in range(16)
+                    if zlib.crc32(('attn%d' % i).encode()) & 1)
+        m = Wrap(aname=name)
+        v = m.init(KEY, x)
+        base = m.apply(v, x)              # no shift env -> unshifted
+        monkeypatch.setenv('UCDIR_TPU_ATTN_SHIFT', '1')
+        shifted = m.apply(v, x)
+        monkeypatch.delenv('UCDIR_TPU_ATTN_SHIFT')
+        wy = attn_mod._window_split(8, 6)
+        wx = attn_mod._window_split(12, 6)
+        sy, sx = (8 // wy) // 2, (12 // wx) // 2
+        assert (sy, sx) != (0, 0)
+        xr = jnp.roll(x, (-sy, -sx), axis=(1, 2))
+        want = jnp.roll(m.apply(v, xr), (sy, sx), axis=(1, 2))
+        np.testing.assert_allclose(np.asarray(shifted), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        assert float(jnp.abs(shifted - base).max()) > 1e-4  # partition moved
+    finally:
+        attn_mod._WINDOW_TOKENS, attn_mod._WINDOW_TARGET = old

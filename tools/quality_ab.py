@@ -125,6 +125,8 @@ def main():
             pad=64, tile={'skip': 1024, 'padding': 64}, seg_steps=25), {}),
         ('C untiled+GLOBAL-attn', dict(pad=64),
          {'UCDIR_TPU_ATTN_WINDOW_TOKENS': '1000000000'}),
+        ('D untiled+windowed+SHIFT', dict(pad=64),
+         {'UCDIR_TPU_ATTN_SHIFT': '1'}),
     ]
     outs = {}
     for name, kw, env in legs:

@@ -120,9 +120,31 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         b, h, w, c = x.shape
         n_head = self.n_head
         head_dim = c // n_head
+
+        # Opt-in SHIFTED windows (UCDIR_TPU_ATTN_SHIFT=1): roughly half the
+        # attention layers (deterministic per-layer parity from the module
+        # path) see a half-window-offset partition, so window-scope seams of
+        # one layer fall inside the windows of the next (Swin-style, eval
+        # scope only — training crops never window). Exact at the x level:
+        # GroupNorm(1) stats are roll-invariant and the 1x1 qkv/out convs
+        # are roll-equivariant, so rolling the input and unrolling the
+        # attention output before the residual changes ONLY the partition.
+        shift = (0, 0)
+        if (os.environ.get('UCDIR_TPU_ATTN_SHIFT') == '1'
+                and h * w > _window_tokens()):
+            import zlib
+            path = '/'.join(getattr(self.scope, 'path', ()) or ())
+            if zlib.crc32(path.encode()) & 1:
+                wy = _window_split(h, _WINDOW_TARGET)
+                wx = _window_split(w, _WINDOW_TARGET)
+                shift = ((h // wy) // 2, (w // wx) // 2)
+        x_res = x
+        if shift != (0, 0):
+            x = jnp.roll(x, (-shift[0], -shift[1]), axis=(1, 2))
 
         norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                             name='norm')(x)
@@ -166,4 +188,6 @@ class SelfAttention(nn.Module):
             out = jnp.einsum('bnhwyx,byxnd->bhwnd', attn, v)
             out = out.reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), name='out')(out)
-        return out + x
+        if shift != (0, 0):
+            out = jnp.roll(out, shift, axis=(1, 2))
+        return out + x_res
