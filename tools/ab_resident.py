@@ -40,6 +40,9 @@ def main():
                              jnp.ones((1, 1), jnp.float32) * 0.5,
                              jnp.zeros_like(x0))
     x = jax.random.uniform(key, (1, h, w, 3), jnp.float32, -1, 1)
+    # force the resident gate (single-chip default is now reassembling);
+    # NO_RESIDENT=1 still wins inside the gate for the reassemble leg
+    os.environ.setdefault('UCDIR_TPU_RESIDENT', '1')
     ev = make_eval_step(module, sched, pad=64, compute_dtype=jnp.bfloat16,
                         tile={'skip': 1024, 'padding': 64}, seg_steps=n)
     t0 = time.perf_counter()

@@ -331,8 +331,15 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
         ctxm = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
         b = sr_img.shape[0]
         h, w = sr_img.shape[1] + 2 * pad, sr_img.shape[2] + 2 * pad
+        # tile-resident default only when tiles are sharded over a mesh
+        # (its win is the ppermute layout + one-prepare-per-image); on a
+        # single chip the reassembling path measured ~1% faster per step
+        # (r4 18-step A/B: 1102 vs 1115 ms true per-step at SID size).
+        # UCDIR_TPU_RESIDENT=1 forces it on, UCDIR_TPU_NO_RESIDENT=1 off.
         resident = (should_tile(h, w)
-                    and os.environ.get('UCDIR_TPU_NO_RESIDENT') != '1')
+                    and os.environ.get('UCDIR_TPU_NO_RESIDENT') != '1'
+                    and (int(tile.get('tile_chunk') or 1) > 1
+                         or os.environ.get('UCDIR_TPU_RESIDENT') == '1'))
         with ctxm:
             if resident:
                 prep_r, seg_r, fin_r, _ = _resident_fns(
