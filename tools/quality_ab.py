@@ -73,17 +73,22 @@ def main():
     H = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 1664
     steps = int(os.environ.get('QAB_TRAIN_STEPS', '3000'))
+    crop = int(os.environ.get('QAB_CROP', '64'))   # training crop; attn at
+    # crop/8 tokens per axis — QAB_CROP=128 probes how the untiled-vs-tiled
+    # gap scales with the trained attention/GN scope
+    nb = max(4, (16 * 64 * 64) // (crop * crop))   # keep tokens/batch const
 
     # sid-shaped toy: attention at /8 (attn_res 8 with image_size 64), same
     # norm_groups/diffusion family as configs/sid.yaml, 16x thinner
     unet = DY3h(in_channel=6, out_channel=3, inner_channel=16,
                 channel_mults=(1, 2, 4, 8), attn_res=(8,), res_blocks=1,
-                dropout=0.0, norm_groups=1, image_size=64, remat=False)
-    module = ResiGaussianGuideDY(denoise_fn=unet, image_size=64, channels=3)
+                dropout=0.0, norm_groups=1, image_size=crop, remat=False)
+    module = ResiGaussianGuideDY(denoise_fn=unet, image_size=crop,
+                                 channels=3)
     key = jax.random.PRNGKey(0)
-    b0 = make_batch(16)
+    b0 = make_batch(nb, crop)
     variables = jax.jit(module.init)(
-        {'params': key, 'dropout': key}, b0, jnp.ones((16, 1)) * .5,
+        {'params': key, 'dropout': key}, b0, jnp.ones((nb, 1)) * .5,
         jnp.zeros_like(b0['HR']))
     sched = make_schedule(dict(schedule='linear', n_timestep=2000,
                                linear_start=1e-6, linear_end=1e-2))
@@ -99,7 +104,7 @@ def main():
     for i in range(steps):
         key, k = jax.random.split(key)
         if i % 10 == 0:
-            batch = make_batch(16)
+            batch = make_batch(nb, crop)
         state, m = step(state, batch, k)
         if i % 500 == 0:
             print('train %d l_pix %.4f (%.0fs)' %
