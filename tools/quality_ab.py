@@ -132,6 +132,8 @@ def main():
          {'UCDIR_TPU_ATTN_WINDOW_TOKENS': '1000000000'}),
         ('D untiled+windowed+SHIFT', dict(pad=64),
          {'UCDIR_TPU_ATTN_SHIFT': '1'}),
+        ('E untiled+row-BAND windows', dict(pad=64),
+         {'UCDIR_TPU_ATTN_BANDS': '1'}),
     ]
     outs = {}
     for name, kw, env in legs:
