@@ -280,13 +280,13 @@ def _conv3x3_forward(x, kernel, bias, act=None, norm_scale=None,
         pref = int(os.environ.get('UCDIR_TPU_CONV_R', '4'))
         rows_per_block = next(r for r in (pref, 4, 2, 1) if H % r == 0)
     R = rows_per_block
-    # padfree A/B (isolated, 3.56Mpx rows): WINS Cin>=128 (192->64: 21.3 vs
-    # 23.0 ms incl. the pad; 128->128: 5.7 vs 5.7-6.2) but LOSES Cin=64
-    # (13.0-13.7 vs 12.1-12.3) — the (R+2,W+2,Cin) staging doesn't amortize
-    # at small Cin. 'auto' gates on Cin; '1' forces, '0' disables.
+    # padfree: in-kernel SAME-border staging instead of a producer jnp.pad.
+    # r3 isolated A/B lost at Cin=64, but the INTEGRATED programs win at
+    # every Cin once XCOL landed (r4: SID 724.7 -> 707.5 ms/step, 512px
+    # 0.426 -> 0.434 img/s with padfree everywhere) — default ON whenever
+    # the kernel path engages; '0' disables for A/Bs.
     pf = os.environ.get('UCDIR_TPU_PADFREE', 'auto')
-    if (pf == '1' or (pf == 'auto' and Cin >= 128)) and H // R >= 2 \
-            and H >= R + 2:
+    if pf != '0' and H // R >= 2 and H >= R + 2:
         return _conv3x3_forward_padfree(x, kernel, bias, act, norm_scale,
                                         norm_shift, R,
                                         emit_stats=emit_stats)
