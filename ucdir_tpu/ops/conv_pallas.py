@@ -13,6 +13,7 @@ math; training-time memory unchanged).
 from __future__ import annotations
 
 import functools
+import contextlib as _contextlib
 import os as _os
 
 import jax
@@ -737,11 +738,40 @@ def _c1_bwd(act, residuals, g):
 conv1x1_pallas.defvjp(_c1_fwd, _c1_bwd)
 
 
+# -- eval-only dispatch relaxation --------------------------------------------
+# The conv-kernel spatial floor is phase-dependent: in EVAL programs the
+# integrated r4 A/Bs show min_dim 196 wins every size tested (SID 709.0 vs
+# 724.7 ms/step, 512px 0.4554 vs 0.4261 img/s — the /2- and /8-scale convs
+# amortize once XCOL + pad-free staging landed), but in a TRAIN forward the
+# same newly-engaged kernels pair with the XLA-recompute backward and lose
+# 2.7x (tr-min196: 1.66 vs 0.61 s/step at B=8 256px). make_eval_step wraps
+# its trace bodies in eval_dispatch() so only eval programs see the lower
+# floor; UCDIR_TPU_CONV_MIN_DIM overrides both.
+_EVAL_TRACE = [False]
+
+
+@_contextlib.contextmanager
+def eval_dispatch():
+    old = _EVAL_TRACE[0]
+    _EVAL_TRACE[0] = True
+    try:
+        yield
+    finally:
+        _EVAL_TRACE[0] = old
+
+
+def _min_dim() -> int:
+    v = _os.environ.get('UCDIR_TPU_CONV_MIN_DIM')
+    if v is not None:
+        return int(v)
+    return 196 if _EVAL_TRACE[0] else 384
+
+
 def conv1x1(x, kernel, bias, act=None, use_pallas=False):
     """Dispatching 1x1 conv: Pallas on TPU at the big scales, einsum XLA else."""
     import os
     B, H, W, Cin = x.shape
-    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    min_dim = _min_dim()
     ok = (use_pallas and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
           and min(H, W) >= min_dim and W <= _MAX_WIDTH
@@ -794,7 +824,7 @@ def head_conv3x3(x, kernel, bias, norm_scale, norm_shift, use_pallas=False):
     """Dispatching GN(1)+swish+conv head (see conv3x3_preact_pallas)."""
     import os
     B, H, W, Cin = x.shape
-    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    min_dim = _min_dim()
     R = next(r for r in (4, 2, 1) if H % r == 0)
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
@@ -1005,7 +1035,7 @@ def downconv2x(x, kernel, bias, use_pallas=False, norm_scale=None,
     import os
     B, H, W, Cin = x.shape
     H2 = H // 2
-    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    min_dim = _min_dim()
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
@@ -1074,7 +1104,7 @@ def upconv2x(x, kernel, bias, use_pallas=False, emit_stats=False):
     Cout = kernel.shape[-1]
     kp = _pack_up_kernel(kernel).astype(x.dtype)
     bp = jnp.tile(bias, (4,)).astype(x.dtype)
-    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    min_dim = _min_dim()
     ok = (use_pallas and HAS_ELEMENT
           and jax.devices()[0].platform == 'tpu'
           and os.environ.get('UCDIR_TPU_NO_PALLAS_CONV') != '1'
@@ -1135,7 +1165,7 @@ def conv3x3(x, kernel, bias, act=None, use_pallas=False, norm_scale=None,
     import os
     B, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
-    min_dim = int(os.environ.get('UCDIR_TPU_CONV_MIN_DIM', '384'))
+    min_dim = _min_dim()
     # big-channel convs (the /8-scale 1024->512 / 768->512 at whole-image
     # SID size) amortize the staging at much smaller spatial dims — XLA runs
     # them at ~33 TF/s vs the kernel's ~80; a blanket MIN_DIM drop regressed

@@ -27,6 +27,19 @@ from ucdir_tpu.schedule import NoiseSchedule
 from ucdir_tpu.train.state import TrainState
 
 
+def _eval_traced(fn):
+    """Trace the wrapped eval function under conv_pallas.eval_dispatch():
+    the conv kernels' spatial floor relaxes to the measured eval optimum
+    (MIN_DIM 196) inside eval programs only — in a train forward the same
+    kernels pair with backward recompute and lose 2.7x (r4 tr-min196)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        from ucdir_tpu.ops.conv_pallas import eval_dispatch
+        with eval_dispatch():
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def make_train_step(module, sched: NoiseSchedule, mesh: Optional[Mesh] = None,
                     donate: bool = True, compute_dtype=None) -> Callable:
     """Returns train_step(state, batch, key) -> (state, metrics).
@@ -178,7 +191,7 @@ def make_eval_step(module, sched: NoiseSchedule, pad: int = 64,
                         else o for o in out)
         return out
 
-    jitted = jax.jit(eval_step)
+    jitted = jax.jit(_eval_traced(eval_step))
 
     if mesh is not None:
         _inner = jitted
@@ -267,8 +280,8 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
                                     guide_maps=gmaps).astype(im.dtype)
         return ddpm_scan_segment(denoise, sched, img, key, buf, ts, slots)
 
-    prep_j = jax.jit(prep)
-    seg_j = jax.jit(segment)
+    prep_j = jax.jit(_eval_traced(prep))
+    seg_j = jax.jit(_eval_traced(segment))
 
     # ---- tile-RESIDENT segmented path (parallel/resident.py) -------------
     # carries the TILED state across segment executions; one conditioning
@@ -320,8 +333,9 @@ def _make_segmented_eval_step(module, sched: NoiseSchedule, pad: int,
                 return img, jnp.concatenate([x[None], snaps], axis=0)
             return img, None
 
-        fns = (jax.jit(prep_r), jax.jit(seg_r, donate_argnums=(2, 4)),
-               jax.jit(fin_r), rs)
+        fns = (jax.jit(_eval_traced(prep_r)),
+               jax.jit(_eval_traced(seg_r), donate_argnums=(2, 4)),
+               jax.jit(_eval_traced(fin_r)), rs)
         _res_cache[shape] = fns
         return fns
 
