@@ -156,7 +156,10 @@ class SelfAttention(nn.Module):
         win_tokens = _window_tokens()
         if h * w > win_tokens:
             import os
-            if (os.environ.get('UCDIR_TPU_ATTN_BANDS') == '1'
+            # default ON since r4: -0.8% on the integrated SID step (686.3
+            # vs 691.7 ms, tools/r4_ab3.sh) and quality-neutral on the
+            # crop-128 toy (24.51 vs 24.52 dB, QAB leg E); '0' disables
+            if (os.environ.get('UCDIR_TPU_ATTN_BANDS', '1') != '0'
                     and n_head == 1 and w <= win_tokens):
                 # ROW-BAND windows (wx=1): with n_head==1 the window split
                 # becomes a PURE RESHAPE — no q/k/v/o transposes (the 2-D
