@@ -282,6 +282,8 @@ def test_shifted_window_attention_is_roll_of_unshifted(rng, monkeypatch):
 
     x = jnp.asarray(rng.standard_normal((1, 8, 12, 16)) * 0.5, jnp.float32)
     old = (attn_mod._WINDOW_TOKENS, attn_mod._WINDOW_TARGET)
+    # near-square windows: 1-row BANDS (the r4 default) are shift-invariant
+    monkeypatch.setenv('UCDIR_TPU_ATTN_BANDS', '0')
     try:
         attn_mod._WINDOW_TOKENS = 16
         attn_mod._WINDOW_TARGET = 6       # windows: (4, 6)
