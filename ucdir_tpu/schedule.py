@@ -9,10 +9,19 @@ Mirrors the semantics of /root/reference/model/diffusion.py:15-148
     1e-10 stabilizers inside the reciprocal sqrt buffers and the 1e-20 clip
     inside the posterior log-variance.
 
-TPU-native difference: the schedule is a frozen pytree of device arrays so the
-whole sampling loop (including per-step coefficient lookups) can live inside a
-single jitted `lax.scan` — the reference re-creates a host tensor per step
+TPU-native difference: the schedule is a frozen pytree so the whole sampling
+loop (including per-step coefficient lookups) can live inside a single jitted
+`lax.scan` — the reference re-creates a host tensor per step
 (/root/reference/model/diffusion.py:162).
+
+The buffers are HOST numpy arrays (a `HostArray` ndarray view), not device
+arrays: jitted closures embed them as HLO constants straight from host memory.
+Device-array constants lower through `_array_mlir_constant_handler`, whose
+`._value` does a device->host fetch at LOWERING time — the exact operation
+that crashed the round-4 official bench when the tunneled TPU backend was
+wedged (BENCH_r04.json rc=1, FailedPrecondition). Host constants make every
+lowering device-independent; `HostArray.__getitem__` handles traced indices so
+per-step coefficient gathers inside `lax.scan` still work unchanged.
 """
 from __future__ import annotations
 
@@ -65,6 +74,22 @@ def make_beta_schedule(schedule: str, n_timestep: int, linear_start: float = 1e-
     return betas
 
 
+class HostArray(np.ndarray):
+    """numpy ndarray view whose indexing also accepts JAX tracers.
+
+    Schedule buffers stay on the HOST so jit lowering embeds them as
+    constants without touching the device (see module docstring). Traced
+    indices (scan carries like `t`) promote to a jnp constant gather;
+    Python/numpy indices behave exactly like numpy. Arithmetic with tracers
+    already defers to JAX via __array_priority__, so no other ops need help.
+    """
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (jax.core.Tracer, jax.Array)):
+            return jnp.asarray(np.asarray(self))[idx]
+        return super().__getitem__(idx)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NoiseSchedule:
@@ -107,7 +132,9 @@ def make_schedule(schedule_opt: Dict[str, Any], dtype=jnp.float32) -> NoiseSched
     posterior_variance = betas * (1. - alphas_cumprod_prev) / (1. - alphas_cumprod)
 
     def t(x):
-        return jnp.asarray(x, dtype=dtype)
+        # host-resident buffers (HostArray): lowering never fetches from the
+        # device, so a wedged backend cannot crash jit tracing (VERDICT r4 #1)
+        return np.asarray(x, dtype=dtype).view(HostArray)
 
     return NoiseSchedule(
         betas=t(betas),
