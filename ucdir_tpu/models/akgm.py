@@ -54,7 +54,9 @@ class ResnetBlockDY3h(nn.Module):
         # fused conv/mix kernels (x*a + t with a,t per (batch, channel)) —
         # the normalized tensor never materializes in HBM. Other group counts
         # keep the standard module.
-        if self.norm_groups == 1:
+        from ucdir_tpu.ops.gn_scope import gn_tile_window, tile_gn
+        win = gn_tile_window(H, W) if self.norm_groups == 1 else None
+        if self.norm_groups == 1 and win is None:
             a1, t1 = _norm1_affine(x, *_NormParams(c, name='norm1')(),
                                    use_pallas=self.use_pallas,
                                    totals=in_stats)
@@ -66,6 +68,19 @@ class ResnetBlockDY3h(nn.Module):
             a2, t2 = _norm1_affine(
                 h, *_NormParams(self.dim_out, name='norm2')(),
                 use_pallas=self.use_pallas, totals=h_stats)
+        elif self.norm_groups == 1:
+            # UCDIR_TPU_GN_SCOPE=tile (ops/gn_scope.py): per-window stats are
+            # spatially varying, so the per-(B,C) folded-affine kernels don't
+            # apply — normalize explicitly (same params as the folded path),
+            # then run the convs unfolded. Chained canvas totals (in_stats)
+            # are the wrong scope here and are ignored.
+            s1, b1 = _NormParams(c, name='norm1')()
+            h = tile_gn(x, s1, b1, win)
+            h = PallasConv3(self.dim_out, act='swish',
+                            use_pallas=self.use_pallas, name='conv1')(h)
+            s2, b2 = _NormParams(self.dim_out, name='norm2')()
+            h = tile_gn(h, s2, b2, win)
+            a2 = t2 = None
         else:
             h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
                              name='norm1')(x)

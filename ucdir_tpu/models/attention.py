@@ -146,8 +146,16 @@ class SelfAttention(nn.Module):
         if shift != (0, 0):
             x = jnp.roll(x, (-shift[0], -shift[1]), axis=(1, 2))
 
-        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
-                            name='norm')(x)
+        from ucdir_tpu.ops.gn_scope import gn_tile_window, tile_gn
+        win_gn = gn_tile_window(h, w) if self.norm_groups == 1 else None
+        if win_gn is not None:
+            # UCDIR_TPU_GN_SCOPE=tile: per-window GN(1) stats (same params
+            # as nn.GroupNorm — scale/bias under 'norm').
+            from ucdir_tpu.models.akgm import _NormParams
+            norm = tile_gn(x, *_NormParams(c, name='norm')(), win_gn)
+        else:
+            norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                                name='norm')(x)
         qkv = nn.Conv(c * 3, (1, 1), use_bias=False, name='qkv')(norm)
         # torch views channels as (n_head, 3*head_dim) then chunks into q,k,v
         qkv = qkv.reshape(b, h, w, n_head, 3 * head_dim)

@@ -130,6 +130,13 @@ class DY3h(nn.Module):
         guide-attention maps (see `compute_guide_maps`) — the guide branch is
         reverse-process-invariant, so samplers hoist it out of the step scan.
         """
+        from ucdir_tpu.ops.gn_scope import gn_canvas
+        with gn_canvas(x.shape[1], x.shape[2]):
+            return self._naiveforward_body(x, noise_level, guide,
+                                           deterministic, guide_maps)
+
+    def _naiveforward_body(self, x, noise_level, guide,
+                           deterministic: bool = True, guide_maps=None):
         gm = guide_maps or {}
         nlc = self.inner_channel
         if self.with_noise_level_emb:
@@ -238,10 +245,20 @@ class DY3h(nn.Module):
                                name='final_conv_conv')(x)
         from ucdir_tpu.models.akgm import _norm1_affine, _NormParams
         from ucdir_tpu.ops.conv_pallas import head_conv3x3
-        a, t_ = _norm1_affine(x, *_NormParams(x.shape[-1],
-                                              name='final_conv_norm')(),
-                              use_pallas=self.use_pallas, totals=xs)
+        from ucdir_tpu.ops.gn_scope import gn_tile_window, tile_gn
         from ucdir_tpu.models.layers import _Conv3Params
+        win = gn_tile_window(x.shape[1], x.shape[2])
+        if win is not None:
+            # UCDIR_TPU_GN_SCOPE=tile: normalize per window explicitly, then
+            # feed the head conv an identity affine (same params either way).
+            sc, bi = _NormParams(x.shape[-1], name='final_conv_norm')()
+            x = tile_gn(x, sc, bi, win)
+            a = jnp.ones((x.shape[0], x.shape[-1]), x.dtype)
+            t_ = jnp.zeros((x.shape[0], x.shape[-1]), x.dtype)
+        else:
+            a, t_ = _norm1_affine(x, *_NormParams(x.shape[-1],
+                                                  name='final_conv_norm')(),
+                                  use_pallas=self.use_pallas, totals=xs)
         k, b = _Conv3Params(x.shape[-1], self.out_channel,
                             name='final_conv_conv')()
         return head_conv3x3(x, k, b, a, t_, use_pallas=self.use_pallas)

@@ -185,7 +185,15 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name='norm')(x)
+        from ucdir_tpu.ops.gn_scope import gn_tile_window, tile_gn
+        win = (gn_tile_window(x.shape[1], x.shape[2])
+               if self.groups == 1 else None)
+        if win is not None:    # UCDIR_TPU_GN_SCOPE=tile (ops/gn_scope.py)
+            from ucdir_tpu.models.akgm import _NormParams
+            x = tile_gn(x, *_NormParams(x.shape[-1], name='norm')(), win)
+        else:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name='norm')(x)
         x = swish(x)
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
