@@ -138,6 +138,36 @@ def test_block_padfree_matches_reference(rng, fold, R, monkeypatch):
 
 
 @pytest.mark.parametrize('fold', [False, True])
+@pytest.mark.parametrize('R', [2, 4])
+def test_block_grouped_matches_reference(rng, fold, R, monkeypatch):
+    """v4 per-group kernel (correct pairing, no densified waste): parity vs
+    the XLA reference at Cg=C/G>=2 — the pairing (candidate j of channel c
+    reads group c//(C/G), reference model/ucdir.py:132-137) is exactly what
+    the archived packed v3 kernel got wrong, so this is the load-bearing
+    assertion."""
+    from ucdir_tpu.ops.akgm_pallas import _akgm_block_forward_grouped
+    h, att, k, b, res, G, ns, nt, aw = _block_data(rng, B=2, C=32,
+                                                   fold=fold, attw=True)
+    want = _block_ref(h, att, k, b, res, G, ns, nt, aw)
+    with pltpu.force_tpu_interpret_mode():
+        got = _akgm_block_forward_grouped(h, att, k, b, res, G, ns, nt, aw,
+                                          rows_per_block=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_block_grouped_dispatch_gate(monkeypatch):
+    from ucdir_tpu.ops.akgm_pallas import grouped_tail_enabled
+    assert not grouped_tail_enabled(512, 8)            # knob off
+    monkeypatch.setenv('UCDIR_TPU_AKGM_GROUPED', '1')
+    assert grouped_tail_enabled(512, 8)                # Cg=64
+    assert grouped_tail_enabled(256, 8)                # Cg=32
+    assert not grouped_tail_enabled(128, 8)            # Cg=16 < 32
+    monkeypatch.setenv('UCDIR_TPU_AKGM_GROUPED', 'all')
+    assert grouped_tail_enabled(64, 8)                 # Cg=8 experiment floor
+
+
+@pytest.mark.parametrize('fold', [False, True])
 @pytest.mark.parametrize('R', [1, 2, 4])
 def test_block_xcol_matches_reference(rng, fold, R, monkeypatch):
     monkeypatch.setenv('UCDIR_TPU_XCOL', '1')

@@ -223,7 +223,12 @@ def akgm_block_tail(h, att_sp, kernel, bias, res, nset: int,
     if C == 256 and h.shape[1] * h.shape[2] < 100_000 \
             and 'UCDIR_TPU_TAIL_MAX_C' not in os.environ:
         max_c = 255
-    pallas_ok = (use_pallas and C <= max_c
+    # the v4 per-group kernel (correct pairing, no densified waste) lifts the
+    # channel cap — its weight slabs are 9*C*C/G bytes (G-fold smaller than
+    # the densified kd2), so C=512 fits easily (UCDIR_TPU_AKGM_GROUPED=1)
+    from ucdir_tpu.ops.akgm_pallas import grouped_tail_enabled
+    c_ok = C <= max_c or grouped_tail_enabled(C, nset)
+    pallas_ok = (use_pallas and c_ok
                  and jax.devices()[0].platform == 'tpu'
                  and os.environ.get('UCDIR_TPU_AKGM_FORM') is None
                  and os.environ.get('UCDIR_TPU_NO_FUSED_TAIL') != '1')

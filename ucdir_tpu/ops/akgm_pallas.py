@@ -150,7 +150,7 @@ akgm_mix_pallas.defvjp(_fwd, _bwd)
 
 
 def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C,
-                   act=None):
+                   act=None, row_axis=1):
     """Stage an UNPADDED (1, R+2, W, C) Element block (row offset
     clip(y*R-1, 0, H-R-2) of the source) into a (R+2, W+2, C) VMEM scratch
     holding the SAME-padding view: border positions get vrow, interior rows
@@ -158,9 +158,9 @@ def _stage_padfree(h_ref, pad_ref, vrow, arow, trow=None, *, R, W, C,
     (instead of 3x per im2col tap; with trow the ring is the exact
     normalized zero, so vrow=0 and the bias stays unfolded — no degenerate
     scale==0 case, unlike the padded path's -shift/scale ring).
-    Grid axis 1 must be the row-block axis."""
-    y = pl.program_id(1)
-    ny = pl.num_programs(1)
+    Grid axis `row_axis` must be the row-block axis."""
+    y = pl.program_id(row_axis)
+    ny = pl.num_programs(row_axis)
 
     def stage(off, top, bottom):
         # scratch row l = padded-view row (border at l==0 if top /
@@ -306,13 +306,21 @@ def _akgm_block_forward(h, att_sp, kernel, bias, res, nset: int,
                         rows_per_block: int = 0, emit_stats: bool = False):
     import os
     if emit_stats and (os.environ.get('UCDIR_TPU_ALIGNED') == '1'
-                       or os.environ.get('UCDIR_TPU_AKGM_PACKED') == '1'):
+                       or os.environ.get('UCDIR_TPU_AKGM_PACKED') == '1'
+                       or grouped_tail_enabled(h.shape[-1], nset)):
         # the opt-in experiment kernels don't emit; fall back to XLA sums
         from ucdir_tpu.ops.conv_pallas import _stats_of
         out = _akgm_block_forward(h, att_sp, kernel, bias, res, nset,
                                   norm_scale, norm_shift, attw,
                                   rows_per_block)
         return (out, *_stats_of(out))
+    if grouped_tail_enabled(h.shape[-1], nset) and h.shape[1] >= 4 \
+            and os.environ.get('UCDIR_TPU_AKGM_PACKED') != '1' \
+            and os.environ.get('UCDIR_TPU_ALIGNED') != '1':
+        # v4 per-group kernel: correct pairing, no densified FLOP waste
+        return _akgm_block_forward_grouped(
+            h, att_sp, kernel, bias, res, nset, norm_scale, norm_shift,
+            attw, rows_per_block)
     if os.environ.get('UCDIR_TPU_ALIGNED') == '1' \
             and os.environ.get('UCDIR_TPU_AKGM_PACKED') != '1':
         # aligned-halo experiment: measured a wash isolated, -1.2%% in-model,
@@ -1072,6 +1080,163 @@ def _akgm_block_forward_packed(h, att_sp, kernel, bias, res, nset: int,
             bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G),
             transcendentals=B * H * W * C),
     )(hp, att_sp, attw.astype(h.dtype)[:, None, :], kd, bm, e, res, *extra)
+
+
+# ---------------------------------------------------------------------------
+# v4: per-GROUP fused block tail with the CORRECT candidate pairing and no
+# densified FLOP waste (VERDICT r4 next #3).
+#
+# Reference semantics (/root/reference/model/ucdir.py:132-137): conv output
+# o = c*G + j (candidate j of output channel c) belongs to conv group
+# g = o // C, and since G | C every candidate of one output channel reads the
+# SAME input group g = c // (C/G). The r3 packing study showed attention can
+# therefore NOT fold into a shared im2col operand (the packed v3 kernel
+# computes a different net), and per-group dots need Cg = C/G-wide operand
+# slices — hopeless at C=64 (8 lanes) but lane-viable at C>=256 (Cg>=32).
+#
+# Formulation (no sub-128-lane loads/stores/slices anywhere):
+#   * the GRID gains a group axis: (B, G, H//R), row axis LAST so the per-
+#     group weight slab stays VMEM-resident while rows stream;
+#   * each program fetches ONLY its group's Cg input channels — the h block
+#     is (1, R+2, W, Cg) at Element channel offset g*Cg; in VMEM the block's
+#     lane dim IS Cg, so the 9 tap slices are full-lane;
+#   * the conv runs as 9 (W, Cg) @ (Cg, C) tap dots against the group's TRUE
+#     weights (kg slab (9*Cg, C), sublane-sliced per tap at t*Cg — sublane
+#     granularity, not lane) accumulating the (W, C) candidate panel
+#     (column m = o - g*C = cg*G + j, j minor — same candidate order as the
+#     densified kernels, so the same lane-tiled attention expansion applies);
+#   * mix + swish + residual fuse as usual; the per-group output block
+#     (1, R, W, Cg) tiles the channel axis block-unit (G * Cg == C).
+# MXU cost: the K=Cg dots pad to the 128-lane pass, so the effective MACs are
+# 9*W*max(Cg,128)*C*G vs the densified 9*W*C*C*G + W*C*G*C — ~2x fewer at
+# C=256 and ~3x at C=512; the COUNTED flops (cost_estimate) are the true
+# 18*H*W*C^2, closing the hw-vs-useful MFU gap at these scales. Measured A/B
+# gates the default (UCDIR_TPU_AKGM_GROUPED).
+# ---------------------------------------------------------------------------
+
+
+def _group_select_matrix(C: int, G: int, dtype) -> np.ndarray:
+    """S[m, cg] = 1 where m // G == cg — reduces a group's (W, C) candidate
+    panel (column m = cg*G + j) over its G candidates."""
+    m = np.arange(C)
+    s = np.zeros((C, C // G), np.float32)
+    s[m, m // G] = 1.
+    return s.astype(dtype)
+
+
+def _group_kernel_slabs(kernel, C: int, G: int):
+    """(3, 3, Cg, C*G) grouped HWIO kernel -> (G, 9*Cg, C): slab g holds
+    group g's true weights; row t*Cg + cg, column m = o - g*C."""
+    Cg = C // G
+    k9 = kernel.reshape(9, Cg, G, C)        # (C*G) minor -> (g, m): o = g*C+m
+    return k9.transpose(2, 0, 1, 3).reshape(G, 9 * Cg, C)
+
+
+def grouped_tail_enabled(C: int, G: int) -> bool:
+    """UCDIR_TPU_AKGM_GROUPED=1: per-group kernel for Cg>=32 (C>=256 at G=8);
+    'all' drops the floor to Cg>=8 for experiments."""
+    import os
+    v = os.environ.get('UCDIR_TPU_AKGM_GROUPED', '0')
+    if v == 'all':
+        return C % G == 0 and C // G >= 8
+    return v == '1' and C % G == 0 and C // G >= 32
+
+
+def _akgm_block_kernel_grouped(h_ref, att_ref, aw_ref, kg_ref, bg_ref,
+                               selg_ref, res_ref, v_ref, *rest,
+                               Cg, C, G, W, R, fold):
+    a_ref, t_ref = (rest[0], rest[1]) if fold else (None, None)
+    n = 2 if fold else 0
+    out_ref = rest[n]
+    pad_ref = rest[n + 1]
+    _stage_padfree(h_ref, pad_ref, v_ref[0],
+                   a_ref[0] if fold else None,
+                   t_ref[0] if fold else None, R=R, W=W, C=Cg, row_axis=2)
+    for r in range(R):
+        acc = None
+        for t, (ty, tx) in enumerate(
+                [(y, x) for y in range(3) for x in range(3)]):
+            d = jnp.dot(pad_ref[r + ty, tx:tx + W, :],
+                        kg_ref[0, t * Cg:(t + 1) * Cg, :],
+                        preferred_element_type=jnp.float32)      # (W, C)
+            acc = d if acc is None else acc + d
+        acc = acc + bg_ref[0]
+        att = att_ref[0, r] * aw_ref[0]                          # (W, G)
+        att_exp = jnp.tile(att, (1, Cg))                         # m -> att[m%G]
+        mixed = (acc.astype(att_exp.dtype) * att_exp)
+        out = jnp.dot(mixed, selg_ref[...],
+                      preferred_element_type=jnp.float32)        # (W, Cg)
+        out = out * jax.nn.sigmoid(out) + res_ref[0, r].astype(jnp.float32)
+        out_ref[0, r] = out.astype(out_ref.dtype)
+
+
+def _akgm_block_forward_grouped(h, att_sp, kernel, bias, res, nset: int,
+                                norm_scale=None, norm_shift=None, attw=None,
+                                rows_per_block: int = 0):
+    import os
+    B, H, W, C = h.shape
+    G = nset
+    Cg = C // G
+    if attw is None:
+        attw = jnp.ones((B, G), h.dtype)
+    if not rows_per_block:
+        pref = int(os.environ.get('UCDIR_TPU_AKGM_R', '4'))
+        rows_per_block = next(r for r in (pref, 4, 2, 1)
+                              if H % r == 0 and H >= r + 2 and H // r >= 2)
+    R = rows_per_block
+    fold = norm_scale is not None
+    kg = _group_kernel_slabs(kernel, C, G).astype(h.dtype)     # (G, 9Cg, C)
+    bg = bias.reshape(G, 1, C).astype(jnp.float32)
+    selg = jnp.asarray(_group_select_matrix(C, G, h.dtype))
+    v2 = jnp.zeros((1, 1, Cg), h.dtype)
+    if fold:
+        extra = [norm_scale.astype(h.dtype).reshape(B, 1, C),
+                 norm_shift.astype(h.dtype).reshape(B, 1, C)]
+        extra_specs = [pl.BlockSpec((1, 1, Cg), lambda b, g, y: (b, 0, g),
+                                    memory_space=pltpu.VMEM)] * 2
+    else:
+        extra, extra_specs = [], []
+
+    grid = (B, G, H // R)      # row axis LAST: kg slab resident across rows
+    flops = 2 * B * H * W * 9 * Cg * C * G + 2 * B * H * W * C * C
+    return pl.pallas_call(
+        functools.partial(_akgm_block_kernel_grouped, Cg=Cg, C=C, G=G,
+                          W=W, R=R, fold=fold),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_Element(1), _Element(R + 2), _Element(W),
+                          _Element(Cg)),
+                         lambda b, g, y: (b, jnp.clip(y * R - 1, 0, H - R - 2),
+                                          0, g * Cg),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, G), lambda b, g, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, g, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9 * Cg, C), lambda b, g, y: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, g, y: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Cg), lambda b, g, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W, Cg), lambda b, g, y: (b, y, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Cg), lambda b, g, y: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + extra_specs,
+        out_specs=pl.BlockSpec((1, R, W, Cg), lambda b, g, y: (b, y, 0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((R + 2, W + 2, Cg), h.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            allow_input_fusion=[True] + [False] * (7 + len(extra))),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h.dtype.itemsize * B * H * W * (3 * C + G * G),
+            transcendentals=B * H * W * C),
+    )(h, att_sp, attw.astype(h.dtype)[:, None, :], kg, bg, selg, res, v2,
+      *extra)
 
 
 def _block_ref(h, att_sp, kernel, bias, res, nset, norm_scale=None,
