@@ -69,13 +69,14 @@ def make_batch(n, s=64):
             'SR': jnp.asarray(noisy, jnp.float32)}
 
 
-def main():
-    H = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
-    W = int(sys.argv[2]) if len(sys.argv) > 2 else 1664
-    steps = int(os.environ.get('QAB_TRAIN_STEPS', '3000'))
-    crop = int(os.environ.get('QAB_CROP', '64'))   # training crop; attn at
-    # crop/8 tokens per axis — QAB_CROP=128 probes how the untiled-vs-tiled
-    # gap scales with the trained attention/GN scope
+def run(H=1152, W=1664, steps=3000, crop=64, seeds=(123, 456, 789),
+        leg_names=None):
+    """Train the toy model and measure the eval-path legs.
+
+    Returns {'input_psnr': float, 'legs': {letter: {'name', 'mean', 'std',
+    'psnrs'}}, 'crop': crop, 'H': H, 'W': W}. leg_names: optional iterable of
+    leg letters to run (default: A, B, C, F — the r5 decision set).
+    """
     nb = max(4, (16 * 64 * 64) // (crop * crop))   # keep tokens/batch const
 
     # sid-shaped toy: attention at /8 (attn_res 8 with image_size 64), same
@@ -117,13 +118,11 @@ def main():
         0, NOISE_SIGMA, gt.shape), -1, 1)
     x = jnp.asarray(noisy[None], jnp.float32)
     gt8 = tensor2img(gt)
-    print('input PSNR %.2f dB' % calculate_psnr(tensor2img(noisy), gt8),
-          flush=True)
+    input_psnr = calculate_psnr(tensor2img(noisy), gt8)
+    print('input PSNR %.2f dB' % input_psnr, flush=True)
 
     vsched = make_schedule(dict(schedule='linear', n_timestep=50,
                                 linear_start=1e-6, linear_end=0.4))
-    seeds = [int(s) for s in os.environ.get('QAB_SEEDS',
-                                            '123,456,789').split(',')]
     legs = [
         ('A untiled+windowed', dict(pad=64), {}),
         ('B tiled-resident {1024,64}', dict(
@@ -134,8 +133,17 @@ def main():
          {'UCDIR_TPU_ATTN_SHIFT': '1'}),
         ('E untiled+row-BAND windows', dict(pad=64),
          {'UCDIR_TPU_ATTN_BANDS': '1'}),
+        # F: per-1024^2-window GN(1) stats inside the seamless whole-image
+        # program (ops/gn_scope.py) — isolates the reference's per-tile
+        # statistics SCOPE from its tiling overlap/seams (VERDICT r4 #2).
+        ('F untiled+GN-SCOPE-tile', dict(pad=64),
+         {'UCDIR_TPU_GN_SCOPE': 'tile'}),
     ]
+    if leg_names is None:
+        leg_names = ('A', 'B', 'C', 'F')
+    legs = [l for l in legs if l[0][0] in set(leg_names)]
     outs = {}
+    results = {}
     for name, kw, env in legs:
         for e, v in env.items():
             os.environ[e] = v
@@ -155,8 +163,13 @@ def main():
               (name, float(np.mean(psnrs)), float(np.std(psnrs)),
                len(seeds), ['%.2f' % p for p in psnrs],
                time.time() - t0), flush=True)
+        results[name[0]] = {'name': name, 'mean': float(np.mean(psnrs)),
+                            'std': float(np.std(psnrs)),
+                            'psnrs': [float(p) for p in psnrs]}
 
     for a, b in (('A', 'B'), ('A', 'C')):
+        if a not in outs or b not in outs:
+            continue
         d = outs[a] - outs[b]
         print('QAB %s-vs-%s: pairwise PSNR %.2f dB, mean|d| %.4f, max|d| '
               '%.3f (includes sampler noise — different canvas paddings '
@@ -164,6 +177,23 @@ def main():
               (a, b, calculate_psnr(tensor2img(outs[a]),
                                     tensor2img(outs[b])),
                float(np.abs(d).mean()), float(np.abs(d).max())), flush=True)
+    return {'input_psnr': float(input_psnr), 'legs': results,
+            'crop': crop, 'H': H, 'W': W, 'train_steps': steps,
+            'seeds': list(seeds)}
+
+
+def main():
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 1152
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 1664
+    steps = int(os.environ.get('QAB_TRAIN_STEPS', '3000'))
+    crop = int(os.environ.get('QAB_CROP', '64'))   # training crop; attn at
+    # crop/8 tokens per axis — QAB_CROP=128/256 probes how the
+    # untiled-vs-tiled gap scales with the trained attention/GN scope
+    seeds = [int(s) for s in os.environ.get('QAB_SEEDS',
+                                            '123,456,789').split(',')]
+    leg_names = os.environ.get('QAB_LEGS')  # e.g. 'ABCF'
+    run(H, W, steps=steps, crop=crop, seeds=seeds,
+        leg_names=list(leg_names) if leg_names else None)
 
 
 if __name__ == '__main__':
