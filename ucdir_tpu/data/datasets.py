@@ -78,6 +78,14 @@ class LRHRDataset(_Base):
         hr, sr, lr = fetch(index)
         while hr is None or sr is None:
             hr, sr, lr = fetch(random.randint(0, self.data_len - 1))
+        if self.need_LR and lr is None:
+            # the reference's resample condition only checks hr/sr
+            # (LRHR_dataset.py:197-206), so an entry with hr/sr present but
+            # lr missing reaches Image.open(None) and dies with an opaque
+            # TypeError; fail with the missing key instead (ADVICE r4).
+            raise KeyError(
+                'lmdb entry lr_{}_{:05d} missing while hr/sr are present — '
+                'partially written lmdb env?'.format(self.l_res, index))
         dec = [np.asarray(Image.open(io.BytesIO(b)).convert('RGB'))
                for b in ((lr, sr, hr) if self.need_LR else (sr, hr))]
         return dec
