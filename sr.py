@@ -173,6 +173,11 @@ def main():
     import jax
     if args.platform:
         jax.config.update('jax_platforms', args.platform)
+    # persistent compile cache: repeated CLI runs (and bench retries) reuse
+    # compiled executables instead of paying the cold compile every time
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/root/.cache/jax_comp_cache'))
     if args.distributed:
         jax.distributed.initialize()
 

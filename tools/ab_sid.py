@@ -13,6 +13,9 @@ scan-heavy programs — CLAUDE.md r3).
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 '/root/.cache/jax_comp_cache'))
 
 from ucdir_tpu.config import parse
 from ucdir_tpu.models.factory import define_G

@@ -33,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                 '/root/.cache/jax_comp_cache'))
 import jax.numpy as jnp
 
 from ucdir_tpu.models.dy3h import DY3h
