@@ -1,4 +1,4 @@
-"""Benchmark: SID val-path sampling throughput on real TPU hardware.
+"""Official throughput bench. Prints ONE JSON line (the headline metric).
 
 Headline = the north-star metric (BASELINE.json): images/sec/chip for the
 FULL integrated val path at the real SID test resolution (1424x2128,
@@ -13,35 +13,39 @@ compiled HLO's FLOP count against the chip's bf16 peak, and train-step
 throughput.
 
 Robustness (VERDICT r4 #1): the tunneled TPU backend can wedge for ~10 min
-after any killed process on the host (FailedPrecondition/Unavailable on the
-next dispatch). Every section runs under `_wedge_retry`, which recreates ALL
-device state per attempt and backs off past the wedge window; and the noise
-schedule's buffers are host numpy (schedule.HostArray), so jit LOWERING never
-performs the device fetch that crashed the round-4 run.
+after any killed process on the host, and a wedged client RPC can HANG
+forever (observed: 27 min silent stall at ~0% CPU) — no in-process
+try/except can recover that. So `python bench.py` is an ORCHESTRATOR: each
+section runs as `python bench.py --section NAME` in its own subprocess with
+a hard timeout and a fresh backend client; a hang or crash becomes a
+retryable failure, and retries back off past the wedge window. Inside a
+section, transient backend *errors* retry in-process (cheap), the noise
+schedule's buffers are host numpy (schedule.HostArray) so jit lowering
+never performs a device fetch (the exact operation that crashed the
+round-4 run), and section progress prints to stderr so a stall is
+attributable. The MFU analysis is its own section: a failure there cannot
+take the already-measured headline down with it.
 
 The reference has no published numbers (BASELINE.md): vs_baseline compares
 against `BENCH_BASELINE.json` — this repo's first recorded TPU run of each
-metric (the SID-resolution baseline is round 1's integrated tiled-eval
-measurement, 1.63 s/denoise-step = 0.01227 img/s, CLAUDE.md).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+metric (round-1 for val, round-3 for train).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'BENCH_BASELINE.json')
 HEADLINE = 'sid_val_50step_1424x2128_images_per_sec_per_chip'
 SECONDARY = 'sid_val_50step_512px_images_per_sec_per_chip'
 TRAIN = 'sid_train_256px_b8_images_per_sec_per_chip'
-# TPU v5e (v5-lite) bf16 peak per chip — spec sheet value. The part in this
-# image measures ~121 TF/s on a chained 8k matmul (CLAUDE.md r3 roofline);
-# MFU is reported against BOTH (spec = comparable across reports, measured =
-# the real speed-of-light headroom on this device).
 PEAK_BF16_FLOPS = 197e12
 MEASURED_BF16_FLOPS = 121e12
 
@@ -49,18 +53,24 @@ _TRANSIENT = ('FAILED_PRECONDITION', 'FailedPrecondition', 'UNAVAILABLE',
               'Unavailable', 'DEADLINE_EXCEEDED', 'DeadlineExceeded',
               'ABORTED', 'INTERNAL: Socket closed')
 
+# per-section subprocess budget: cold server-side compiles of the SID
+# whole-image program ran ~6.5 min/leg in round 4; the headline section
+# compiles two such programs plus two ~30 s executions.
+_SECTION_TIMEOUT = {'headline': 2400, 'mfu': 2400, 'px512': 1500,
+                    'train': 1500}
+_RETRY_WAITS = (180, 600)    # sleep between subprocess attempts (wedge ~10m)
 
-def _wedge_retry(fn, what: str, attempts: int = 3):
-    """Run `fn` (which must create ALL its device state internally), retrying
-    across the documented ~10-min tunnel wedge after backend errors.
 
-    Only transient backend conditions are retried; programming errors
-    re-raise immediately. Between attempts the jit caches are dropped so
-    poisoned executables / baked-in device constants are rebuilt from host
-    state (the persistent on-disk compile cache survives, keeping retries
-    cheap)."""
+def _note(msg: str):
+    print('# %s' % msg, file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _wedge_retry(fn, what: str, attempts: int = 2):
+    """In-process retry for transient backend ERRORS (cheap path; hangs are
+    handled by the orchestrator's subprocess timeout). `fn` must create all
+    its device state internally so a retry rebuilds from host state."""
     import jax
-    waits = (120, 420, 660)
     for i in range(attempts):
         try:
             return fn()
@@ -68,12 +78,9 @@ def _wedge_retry(fn, what: str, attempts: int = 3):
             s = repr(e)
             if not any(k in s for k in _TRANSIENT) or i == attempts - 1:
                 raise
-            wait = waits[min(i, len(waits) - 1)]
-            print('# %s: transient backend error (%s…); retry %d/%d in %ds'
-                  % (what, s[:160], i + 1, attempts - 1, wait),
-                  file=sys.stderr)
-            sys.stderr.flush()
-            time.sleep(wait)
+            _note('%s: transient backend error (%s…); in-process retry in 120s'
+                  % (what, s[:160]))
+            time.sleep(120)
             jax.clear_caches()
 
 
@@ -91,34 +98,35 @@ def _load_baselines() -> dict:
     return {SECONDARY: raw['value']}
 
 
-def _save_baselines(metrics: dict):
+def _save_baselines(metrics: dict, note: str):
     with open(BASELINE_FILE, 'w') as fh:
-        json.dump({'metrics': metrics,
-                   'note': 'first recorded TPU run per metric; vs_baseline '
-                           'in later rounds is relative to these'}, fh,
-                  indent=1)
+        json.dump({'metrics': metrics, 'note': note}, fh, indent=1)
 
 
-def main():
+# ---------------------------------------------------------------------------
+# section bodies (run inside their own subprocess)
+# ---------------------------------------------------------------------------
+
+
+def _setup():
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/root/.cache/jax_comp_cache'))
     import jax.numpy as jnp
-
     from ucdir_tpu.config import parse
     from ucdir_tpu.models.factory import define_G
     from ucdir_tpu.schedule import make_schedule
-    from ucdir_tpu.train.step import make_eval_step
 
     cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'ucdir_tpu', 'configs', 'sid.yaml')
     opt = parse(cfg, phase='val', checkpoint=None, num_processes=1,
                 make_dirs=False)
     module = define_G(opt, use_pallas=True)
-    sched = make_schedule(opt['model']['beta_schedule']['val'])  # 50 steps, 0.4
+    sched = make_schedule(opt['model']['beta_schedule']['val'])  # 50 st, 0.4
 
     def make_vars(key):
-        # random-init weights: throughput is checkpoint-independent. Rebuilt
-        # inside every retried section so a wedged backend can't leave the
-        # whole run holding dead buffers.
+        # random-init weights: throughput is checkpoint-independent
         x0 = jax.random.uniform(key, (1, 64, 64, 3), jnp.float32, -1, 1)
         return jax.jit(module.init)(
             {'params': key, 'dropout': key}, {'HR': x0, 'SR': x0},
@@ -130,141 +138,172 @@ def main():
         jax.block_until_ready(out)
         compile_t = time.time() - t0
         t0 = time.time()
-        for i in range(n_iters):
+        for _ in range(n_iters):
             out = fn(*args)
         jax.block_until_ready(out)
         return (time.time() - t0) / n_iters, compile_t
 
-    results = {}
+    return opt, module, sched, make_vars, timed
+
+
+SID_H, SID_W = 1424, 2128
+
+
+def section_headline(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from ucdir_tpu.train.step import make_eval_step
+    opt, module, sched, make_vars, timed = _setup()
     key = jax.random.PRNGKey(0)
 
-    # ---- headline: real SID resolution, integrated val path, bf16 ----------
-    sid_h, sid_w = 1424, 2128
-
-    def run_headline():
+    def run():
+        _note('headline: building device state')
         variables = make_vars(key)
-        x_sid = jax.random.uniform(key, (1, sid_h, sid_w, 3), jnp.float32,
+        x_sid = jax.random.uniform(key, (1, SID_H, SID_W, 3), jnp.float32,
                                    -1, 1)
         # seg_steps: the axon tunnel kills single executions >~60s (measured:
         # 35-step/57s ok, 50-step/81s UNAVAILABLE); 25-step segments are
         # bit-identical with one extra ~ms dispatch
         eval_bf16 = make_eval_step(module, sched, pad=64,
                                    compute_dtype=jnp.bfloat16, seg_steps=25)
+        _note('headline: compile + first image')
         return timed(lambda: eval_bf16(variables, x_sid, key))
 
-    dt_sid, c_sid = _wedge_retry(run_headline, 'headline')
-    results[HEADLINE] = 1.0 / dt_sid
+    dt_sid, c_sid = _wedge_retry(run, 'headline')
+    return {'dt_sid': dt_sid, 'c_sid': c_sid}
 
-    # MFU estimate: XLA-counted FLOPs of the compiled program / time / peak.
-    # hw MFU includes the densified-AKGM FLOP waste (the FLOPs the chip
-    # actually executes); useful MFU counts the reference grouped-conv AKGM
-    # form (no densification) — the algorithmic FLOPs a perfect
-    # implementation would need. All lowerings happen under eval_dispatch()
-    # so the counted program carries the same conv-dispatch floors as the
-    # executed eval program (ADVICE r4), and both legs of the waste delta
-    # are lowered from use_pallas=False modules so the (dense - grouped)
-    # difference is XLA-counted on both sides (no pl.CostEstimate
-    # convention mixed in).
-    mfu = mfu_useful = None
-    try:
-        from ucdir_tpu.ops.conv_pallas import eval_dispatch
-        # XLA counts a scan body once, so count one denoiser call at the
-        # per-step working size and scale: n_calls x 50 steps + the predictor
-        # pass. Lower only — never executed; compiles are cached.
-        import jax.tree_util as jtu
-        variables = make_vars(key)
-        vars16 = jtu.tree_map(lambda p: p.astype(jnp.bfloat16), variables)
-        H, W = sid_h + 2 * 64, sid_w + 2 * 64       # after the eval pad
-        untiled_max = int(os.environ.get('UCDIR_TPU_UNTILED_MAX_PX',
-                                         '4300000'))
-        if H * W <= untiled_max:
-            # whole-image path (TPU-first default): one denoise per step at
-            # the /32-padded full resolution
-            th = -(-H // 32) * 32
-            tw = -(-W // 32) * 32
-            n_calls = 1
-        else:
-            from ucdir_tpu.parallel.tiled import compute_tile_starts
-            th = tw = 1024
-            n_calls = len(compute_tile_starts(H + 128, W + 128, 1024, 64))
-        tb = jnp.zeros((1, th, tw, 6), jnp.bfloat16)
-        tg = jnp.zeros((1, th, tw, 3), jnp.bfloat16)
-        nl = jnp.zeros((1, 1), jnp.bfloat16)
 
-        def _count(mod, x, g):
-            with eval_dispatch():
-                return jax.jit(
-                    lambda v, xx, n, gg: mod.denoise_fn.apply(
-                        {'params': v['params']['denoise_fn']}, xx, n, gg,
-                        method='naiveforward')).lower(
-                            vars16, x, nl, g).compile(
-                            ).cost_analysis()['flops']
+def section_mfu(args) -> dict:
+    """MFU estimate: XLA-counted FLOPs of the compiled program / time / peak.
 
-        tile_flops = _count(module, tb, tg)
+    hw MFU includes the densified-AKGM FLOP waste (the FLOPs the chip
+    actually executes); useful MFU counts the reference grouped-conv AKGM
+    form (no densification) — the algorithmic FLOPs a perfect implementation
+    would need. All lowerings happen under eval_dispatch() so the counted
+    program carries the same conv-dispatch floors as the executed eval
+    program (ADVICE r4), and both legs of the waste delta are lowered from
+    use_pallas=False modules so the (dense - grouped) difference is
+    XLA-counted on both sides (no pl.CostEstimate convention mixed in).
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from ucdir_tpu.models.factory import define_G
+    from ucdir_tpu.ops.conv_pallas import eval_dispatch
+    opt, module, sched, make_vars, _timed = _setup()
+    key = jax.random.PRNGKey(0)
+    dt_sid = args.dt_sid
+
+    _note('mfu: lowering cost-analysis programs')
+    # XLA counts a scan body once, so count one denoiser call at the
+    # per-step working size and scale: n_calls x 50 steps + the predictor
+    # pass. Lower only — never executed.
+    variables = make_vars(key)
+    vars16 = jtu.tree_map(lambda p: p.astype(jnp.bfloat16), variables)
+    H, W = SID_H + 2 * 64, SID_W + 2 * 64       # after the eval pad
+    untiled_max = int(os.environ.get('UCDIR_TPU_UNTILED_MAX_PX', '4300000'))
+    if H * W <= untiled_max:
+        # whole-image path (TPU-first default): one denoise per step at the
+        # /32-padded full resolution
+        th = -(-H // 32) * 32
+        tw = -(-W // 32) * 32
+        n_calls = 1
+    else:
+        from ucdir_tpu.parallel.tiled import compute_tile_starts
+        th = tw = 1024
+        n_calls = len(compute_tile_starts(H + 128, W + 128, 1024, 64))
+    tb = jnp.zeros((1, th, tw, 6), jnp.bfloat16)
+    tg = jnp.zeros((1, th, tw, 3), jnp.bfloat16)
+    nl = jnp.zeros((1, 1), jnp.bfloat16)
+
+    def _count(mod, x, g):
         with eval_dispatch():
-            pred_flops = jax.jit(
-                lambda v, x: module.apply(v, x, method='predict_init')).lower(
-                    vars16, jnp.zeros((1, H, W, 3), jnp.bfloat16)
-                ).compile().cost_analysis()['flops']
-        total = tile_flops * n_calls * sched.num_timesteps + pred_flops
-        mfu = total / dt_sid / PEAK_BF16_FLOPS
-        # useful-FLOP count: the reference grouped-conv AKGM form carries no
-        # densified 8x candidate waste, but its pure-XLA lowering at the
-        # full whole-image size does not fit the compile-time HBM budget
-        # (~13 GB grouped-conv temps at 1568x2272). The waste DELTA
-        # (densified minus grouped) is all conv FLOPs — exactly linear in
-        # pixels — so measure it at half resolution per axis and scale by
-        # the pixel ratio; the quadratic attention terms cancel in the
-        # difference. Lower-only; the persistent compile cache amortizes.
-        ch = -(-(th // 2) // 32) * 32
-        cw = -(-(tw // 2) // 32) * 32
-        px_scale = (th * tw) / float(ch * cw)
-        hb = jnp.zeros((1, ch, cw, 6), jnp.bfloat16)
-        hg = jnp.zeros((1, ch, cw, 3), jnp.bfloat16)
+            return jax.jit(
+                lambda v, xx, n, gg: mod.denoise_fn.apply(
+                    {'params': v['params']['denoise_fn']}, xx, n, gg,
+                    method='naiveforward')).lower(
+                        vars16, x, nl, g).compile(
+                        ).cost_analysis()['flops']
 
-        def _xla_count(form):
-            os.environ['UCDIR_TPU_AKGM_FORM'] = form
-            try:
-                mod = define_G(opt, use_pallas=False)
-                return _count(mod, hb, hg)
-            finally:
-                del os.environ['UCDIR_TPU_AKGM_FORM']
+    tile_flops = _count(module, tb, tg)
+    with eval_dispatch():
+        pred_flops = jax.jit(
+            lambda v, x: module.apply(v, x, method='predict_init')).lower(
+                vars16, jnp.zeros((1, H, W, 3), jnp.bfloat16)
+            ).compile().cost_analysis()['flops']
+    total = tile_flops * n_calls * sched.num_timesteps + pred_flops
+    mfu = total / dt_sid / PEAK_BF16_FLOPS
+    # useful-FLOP count: the reference grouped-conv AKGM form carries no
+    # densified 8x candidate waste, but its pure-XLA lowering at the full
+    # whole-image size does not fit the compile-time HBM budget (~13 GB
+    # grouped-conv temps at 1568x2272). The waste DELTA (densified minus
+    # grouped) is all conv FLOPs — exactly linear in pixels — so measure it
+    # at half resolution per axis and scale by the pixel ratio; the
+    # quadratic attention terms cancel in the difference. Lower-only.
+    _note('mfu: hw MFU done, lowering half-res waste-delta legs')
+    ch = -(-(th // 2) // 32) * 32
+    cw = -(-(tw // 2) // 32) * 32
+    px_scale = (th * tw) / float(ch * cw)
+    hb = jnp.zeros((1, ch, cw, 6), jnp.bfloat16)
+    hg = jnp.zeros((1, ch, cw, 3), jnp.bfloat16)
 
-        half_dense = _xla_count('densified')
-        half_ref = _xla_count('reference')
-        tile_useful = tile_flops - px_scale * (half_dense - half_ref)
-        useful = tile_useful * n_calls * sched.num_timesteps + pred_flops
-        mfu_useful = useful / dt_sid / PEAK_BF16_FLOPS
-    except Exception as e:  # cost_analysis availability varies per backend
-        print('# cost_analysis unavailable: %r' % (e,), file=sys.stderr)
+    def _xla_count(form):
+        os.environ['UCDIR_TPU_AKGM_FORM'] = form
+        try:
+            mod = define_G(opt, use_pallas=False)
+            return _count(mod, hb, hg)
+        finally:
+            del os.environ['UCDIR_TPU_AKGM_FORM']
 
-    # ---- secondary: 512px whole-image (round-1 headline, trend) ------------
-    def run_512():
+    half_dense = _xla_count('densified')
+    half_ref = _xla_count('reference')
+    tile_useful = tile_flops - px_scale * (half_dense - half_ref)
+    useful = tile_useful * n_calls * sched.num_timesteps + pred_flops
+    return {'mfu': mfu, 'mfu_useful': useful / dt_sid / PEAK_BF16_FLOPS}
+
+
+def section_px512(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from ucdir_tpu.train.step import make_eval_step
+    opt, module, sched, make_vars, timed = _setup()
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        _note('px512: building device state')
         variables = make_vars(key)
         x512 = jax.random.uniform(key, (1, 512, 512, 3), jnp.float32, -1, 1)
         eval512 = make_eval_step(module, sched, pad=0,
                                  compute_dtype=jnp.bfloat16)
+        _note('px512: compile + timing')
         dt512, _ = timed(lambda: eval512(variables, x512, key), n_iters=3)
         # bf16 sanity vs fp32 (same keys, same weights)
+        _note('px512: fp32 sanity leg')
         eval512_32 = make_eval_step(module, sched, pad=0)
         out32 = eval512_32(variables, x512, key)[0]
         out16 = eval512(variables, x512, key)[0]
         dev = float(jnp.mean(jnp.abs(out16 - out32)))
         return dt512, dev
 
-    dt512 = dev = None
-    try:
-        dt512, dev = _wedge_retry(run_512, '512px')
-        results[SECONDARY] = 1.0 / dt512
-    except Exception as e:
-        print('# 512px bench failed: %r' % (e,), file=sys.stderr)
+    dt512, dev = _wedge_retry(run, 'px512')
+    return {'dt512': dt512, 'dev': dev}
 
-    # ---- train throughput: B=8 256px crops, bf16, shipped defaults ---------
-    # (full jitted step: fwd + hand-written-bwd + AdamW + EMA — the sr.py
-    # train-phase program; tracked so train-side regressions are driver-visible)
-    def run_train():
-        from ucdir_tpu.train import (create_train_state, make_optimizer,
-                                     make_train_step)
+
+def section_train(args) -> dict:
+    """Train throughput: B=8 256px crops, bf16, shipped defaults — the full
+    jitted step (fwd + hand-written-bwd + AdamW + EMA), i.e. the sr.py
+    train-phase program; tracked so train-side regressions are
+    driver-visible."""
+    import jax
+    import jax.numpy as jnp
+    from ucdir_tpu.schedule import make_schedule
+    from ucdir_tpu.train import (create_train_state, make_optimizer,
+                                 make_train_step)
+    opt, module, _sched, make_vars, _timed = _setup()
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        _note('train: building device state')
         variables = make_vars(key)
         B, S = 8, 256
         batch = {'HR': jax.random.uniform(key, (B, S, S, 3), jnp.float32,
@@ -276,7 +315,8 @@ def main():
         state = create_train_state(variables['params'], tx,
                                    opt['train'].get('ema'))
         tstep = make_train_step(module, sched_tr, compute_dtype=jnp.bfloat16)
-        state, _ = tstep(state, batch, key)   # compile + warmup
+        _note('train: compile + warmup')
+        state, _ = tstep(state, batch, key)
         jax.block_until_ready(state.params)
         t0 = time.time()
         for i in range(10):
@@ -284,12 +324,95 @@ def main():
         jax.block_until_ready(state.params)
         return (time.time() - t0) / 10
 
-    dt_train = None
-    try:
-        dt_train = _wedge_retry(run_train, 'train')
+    return {'dt_train': _wedge_retry(run, 'train')}
+
+
+_SECTIONS = {'headline': section_headline, 'mfu': section_mfu,
+             'px512': section_px512, 'train': section_train}
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _run_section(name: str, extra_args=(), attempts: int = 3):
+    """Run one section as a subprocess with a hard timeout; returns its
+    result dict or None. A fresh process per attempt gets a fresh backend
+    client — the only reliable recovery from a wedged/hung tunnel RPC."""
+    out = '/tmp/bench_section_%s_%d.json' % (name, os.getpid())
+    cmd = [sys.executable, os.path.abspath(__file__), '--section', name,
+           '--out', out] + list(extra_args)
+    for i in range(attempts):
+        if os.path.exists(out):
+            os.unlink(out)
+        _note('section %s: attempt %d/%d (timeout %ds)'
+              % (name, i + 1, attempts, _SECTION_TIMEOUT[name]))
+        t0 = time.time()
+        try:
+            # stderr passes through (heartbeats + section notes)
+            rc = subprocess.run(cmd, timeout=_SECTION_TIMEOUT[name]).returncode
+        except subprocess.TimeoutExpired:
+            _note('section %s: HUNG past %ds — killed (wedged tunnel?)'
+                  % (name, _SECTION_TIMEOUT[name]))
+            rc = -1
+        if rc == 0 and os.path.exists(out):
+            with open(out) as fh:
+                res = json.load(fh)
+            os.unlink(out)
+            _note('section %s: ok in %.0fs' % (name, time.time() - t0))
+            return res
+        if i < attempts - 1:
+            wait = _RETRY_WAITS[min(i, len(_RETRY_WAITS) - 1)]
+            _note('section %s: rc=%s; retry in %ds (letting any wedge clear)'
+                  % (name, rc, wait))
+            time.sleep(wait)
+    _note('section %s: FAILED after %d attempts' % (name, attempts))
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--section', choices=sorted(_SECTIONS))
+    ap.add_argument('--out')
+    ap.add_argument('--dt-sid', type=float, dest='dt_sid')
+    ap.add_argument('--in-process', action='store_true',
+                    help='run all sections in this process (no isolation)')
+    args = ap.parse_args()
+
+    if args.section:
+        res = _SECTIONS[args.section](args)
+        if args.out:
+            with open(args.out, 'w') as fh:
+                json.dump(res, fh)
+        else:
+            print(json.dumps(res))
+        return
+
+    runner = ((lambda n, extra=(): _SECTIONS[n](
+                  argparse.Namespace(dt_sid=float(extra[1]) if extra else
+                                     None)))
+              if args.in_process else _run_section)
+
+    head = runner('headline')
+    if head is None:
+        _note('headline failed — no metric to report')
+        sys.exit(1)
+    dt_sid, c_sid = head['dt_sid'], head['c_sid']
+    results = {HEADLINE: 1.0 / dt_sid}
+
+    mfu_res = runner('mfu', ['--dt-sid', str(dt_sid)]) or {}
+    mfu, mfu_useful = mfu_res.get('mfu'), mfu_res.get('mfu_useful')
+
+    px = runner('px512') or {}
+    dt512, dev = px.get('dt512'), px.get('dev')
+    if dt512:
+        results[SECONDARY] = 1.0 / dt512
+
+    tr = runner('train') or {}
+    dt_train = tr.get('dt_train')
+    if dt_train:
         results[TRAIN] = 8 / dt_train
-    except Exception as e:
-        print('# train bench failed: %r' % (e,), file=sys.stderr)
 
     baselines = _load_baselines()
     changed = False
@@ -298,7 +421,9 @@ def main():
             baselines[m] = v
             changed = True
     if changed:
-        _save_baselines(baselines)
+        _save_baselines(baselines,
+                        'first recorded TPU run per metric; vs_baseline in '
+                        'later rounds is relative to these')
 
     print(json.dumps({
         'metric': HEADLINE,
