@@ -33,6 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+# a JAX_PLATFORMS env prefix does NOT override the axon plugin for ad-hoc
+# scripts; honor the conventional knob via config (CLAUDE.md)
+if os.environ.get('UCDIR_TPU_QAB_PLATFORM'):
+    jax.config.update('jax_platforms', os.environ['UCDIR_TPU_QAB_PLATFORM'])
 jax.config.update('jax_compilation_cache_dir',
                   os.environ.get('JAX_COMPILATION_CACHE_DIR',
                                  '/root/.cache/jax_comp_cache'))
